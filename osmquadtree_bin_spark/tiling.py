@@ -1,0 +1,276 @@
+"""Quadtree tiling: count tree (A3), group rollup (A4), tile assignment (O1).
+
+Re-creates the reference pipeline phases 2-4 (``osmquadtree-prepare.go:170-292``):
+
+  1. ``count_tree``       — groupBy(round(qt, 17)).count() — distributed agg,
+                            result is small (≤ ~500k cells at planet scale:
+                            ``osmquadtree-prepare.go:201``), collected to driver.
+  2. ``find_groups``      — deterministic driver-side walk of the count tree,
+                            emitting tile groups of target 8000 / minimum 4000
+                            elements (``osmquadtree-prepare.go:88-89,192``).
+  3. ``assign_tiles``     — broadcast the sorted group keys; each element gets
+                            the DEEPEST group that is ancestor-of-or-equal of
+                            its (rounded) qt — vectorized searchsorted inside a
+                            pandas UDF, ≤ 18 passes, no per-row Python.
+  4. ``write_tiled``      — repartition by tile, sort within partitions by id,
+                            write hive-partitioned parquet (Iceberg partition
+                            transform in production).
+
+Group-walk semantics (pinned here, golden-tested in tests/test_tiling_golden.py):
+post-order DFS in quad-digit order (A,B,C,D). Each node bubbles up an
+unassigned remainder; a node emits a group when its accumulated total is
+``minimum <= total <= target``, or when total > target after its children have
+been processed and the leftover is >= minimum. The root always emits any
+remainder. Every cell therefore has exactly one ancestor-or-self group.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from . import quadtree as qtk
+from .udfs import qt_round
+
+QT_TREE_MAX_LEVEL = 17  # osmquadtree-prepare.go:87
+GROUP_TARGET = 8000  # osmquadtree-prepare.go:88
+GROUP_MINIMUM = 4000  # osmquadtree-prepare.go:89
+
+
+# --------------------------------------------------------------- A3 count tree
+def count_tree(elements: DataFrame, level: int = QT_TREE_MAX_LEVEL) -> pd.DataFrame:
+    """Per-cell element counts at ``min(depth, level)`` (A3). Distributed agg,
+    small driver-side result (sorted by key = DFS pre-order)."""
+    pdf = (
+        elements.groupBy(qt_round(F.col("qt"), F.lit(level)).alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .toPandas()
+    )
+    return pdf.sort_values("cell").reset_index(drop=True)
+
+
+# ------------------------------------------------------------- A4 group walk
+@dataclass
+class _Node:
+    key: int
+    count: int  # elements exactly at this cell
+    children: list  # of _Node
+    total: int = 0  # subtree total (filled by _fill_totals)
+
+
+def _common2(a: int, b: int) -> int:
+    """Scalar LCA of two keys (driver-side; hot-loop-friendly pure int ops)."""
+    x = (a & ~31) ^ (b & ~31)
+    prefix_pairs = 18 if x == 0 else (63 - x.bit_length()) // 2
+    d = min(a & 31, b & 31, prefix_pairs)
+    shift = 63 - 2 * d
+    return (((a & ~31) >> shift) << shift) | d
+
+
+def _build_tree(cells: np.ndarray, counts: np.ndarray) -> _Node:
+    """LCA-compressed (patricia-style) quadtree from DFS-pre-order (cell,
+    count) rows. Implicit internal nodes are materialized at the LCA of
+    adjacent subtrees so the group walk can merge scattered small cells at
+    the deepest ancestor where they amount to a group — at most 2n nodes."""
+    root = _Node(0, 0, [])
+    stack = [root]
+    for key, cnt in zip(cells.tolist(), counts.tolist()):
+        key, cnt = int(key), int(cnt)
+        while len(stack) > 1 and not _is_anc(stack[-1].key, key):
+            stack.pop()
+        top = stack[-1]
+        if key == top.key:
+            top.count += cnt
+            continue
+        if top.children:
+            last = top.children[-1]
+            lca = _common2(last.key, key)
+            if (lca & 31) > (top.key & 31):
+                inter = _Node(lca, 0, [last])
+                top.children[-1] = inter
+                stack.append(inter)
+                top = inter
+        node = _Node(key, cnt, [])
+        top.children.append(node)
+        stack.append(node)
+    return root
+
+
+def _is_anc(anc: int, key: int) -> bool:
+    da, dk = anc & 31, key & 31
+    if da > dk:
+        return False
+    shift = 63 - 2 * da
+    return (anc >> shift) == ((key & ~31) >> shift) and (anc & 31) == da
+
+
+def tree_lines(cells: np.ndarray, counts: np.ndarray) -> list[str]:
+    """Golden qt-tree dump, reference format '%6d %s' per line
+    (``osmquadtree-prepare.go:179-187``); node repr = '<qtstring>:<depth> <count>'."""
+    strs = qtk.to_string(cells)
+    depths = qtk.depth_of(cells)
+    return [
+        f"{i:6d} {s or 'ROOT'}:{int(d)} {int(c)}"
+        for i, (s, d, c) in enumerate(zip(strs, depths, counts))
+    ]
+
+
+def find_groups(
+    cells: np.ndarray,
+    counts: np.ndarray,
+    target: int = GROUP_TARGET,
+    minimum: int = GROUP_MINIMUM,
+) -> pd.DataFrame:
+    """A4: deterministic walk → ordered (tile_idx, tile_qt, cnt) frame."""
+    order = np.argsort(cells, kind="stable")
+    root = _build_tree(np.asarray(cells)[order], np.asarray(counts)[order])
+    _fill_totals(root)
+    groups: list[tuple[int, int]] = []
+
+    def walk(node: _Node) -> int:
+        subtotal = node.total
+        if subtotal <= target:
+            # whole subtree fits one group — emit at the subtree's LCA
+            # (descend single-child chains with no elements of their own)
+            if subtotal >= minimum:
+                at = node
+                while at.count == 0 and len(at.children) == 1:
+                    at = at.children[0]
+                groups.append((at.key, subtotal))
+                return 0
+            return subtotal
+        rem_children = 0
+        for c in node.children:  # children are in quad order already
+            rem_children += walk(c)
+        leftover = node.count + rem_children
+        if leftover >= minimum:
+            groups.append((node.key, leftover))
+            return 0
+        return leftover
+
+    rem = walk(root)
+    if rem > 0:
+        groups.append((0, rem))  # root catches any remainder
+    out = pd.DataFrame(groups, columns=["tile_qt", "cnt"])
+    out = out.sort_values("tile_qt").reset_index(drop=True)
+    out.insert(0, "tile_idx", np.arange(len(out), dtype=np.int64))
+    return out
+
+
+def _fill_totals(root: _Node) -> None:
+    """Single post-order pass filling subtree totals (iterative — no depth
+    limit concerns even at planet scale)."""
+    stack = [(root, False)]
+    while stack:
+        node, done = stack.pop()
+        if done:
+            node.total = node.count + sum(c.total for c in node.children)
+        else:
+            stack.append((node, True))
+            stack.extend((c, False) for c in node.children)
+
+
+def group_lines(groups: pd.DataFrame) -> list[str]:
+    """Golden groups dump, '%6d %s' (``osmquadtree-prepare.go:196-209``)."""
+    strs = qtk.to_string(groups["tile_qt"].to_numpy(np.int64))
+    return [
+        f"{int(i):6d} {s or 'ROOT'}:{int(k) & 31} {int(c)}"
+        for i, s, k, c in zip(groups["tile_idx"], strs, groups["tile_qt"], groups["cnt"])
+    ]
+
+
+# ---------------------------------------------------------- tile assignment
+def make_tile_assigner(groups: pd.DataFrame, level: int = QT_TREE_MAX_LEVEL):
+    """Vectorized (qt → tile_idx / tile_qt) lookup closure.
+
+    The group key list is tiny (≤ ~500k) — broadcast by closure capture into
+    the pandas UDF (Spark serializes it once per executor, the Arrow batches
+    stream through numpy searchsorted). Deepest-ancestor match = loop depth
+    from 18 down to 0, one sorted-array membership test per depth.
+    """
+    gkeys = groups["tile_qt"].to_numpy(np.int64)
+    gidx = groups["tile_idx"].to_numpy(np.int64)
+    order = np.argsort(gkeys)
+    gkeys_sorted = gkeys[order]
+    gidx_sorted = gidx[order]
+
+    def assign(qt: np.ndarray) -> np.ndarray:
+        qt = qtk.round_to(np.asarray(qt, dtype=np.int64), level)
+        out = np.full(qt.shape, -1, dtype=np.int64)
+        pending = np.ones(qt.shape, dtype=bool)
+        for d in range(level, -1, -1):
+            if not pending.any():
+                break
+            anc = qtk.round_to(qt, d)
+            pos = np.searchsorted(gkeys_sorted, anc)
+            idx = np.minimum(pos, len(gkeys_sorted) - 1)
+            hit = pending & (pos < len(gkeys_sorted)) & (gkeys_sorted[idx] == anc)
+            out[hit] = gidx_sorted[idx[hit]]
+            pending &= ~hit
+        return out
+
+    return assign
+
+
+def assign_tiles(
+    elements: DataFrame, groups: pd.DataFrame, level: int = QT_TREE_MAX_LEVEL
+) -> DataFrame:
+    assigner = make_tile_assigner(groups, level)
+    tile_qt_by_idx = groups.set_index("tile_idx")["tile_qt"]
+
+    @pandas_udf(LongType())
+    def _assign(qt: pd.Series) -> pd.Series:
+        return pd.Series(assigner(qt.to_numpy(np.int64)))
+
+    lookup = pd.Series(tile_qt_by_idx).to_dict()
+
+    @pandas_udf(LongType())
+    def _tile_qt(idx: pd.Series) -> pd.Series:
+        return idx.map(lookup).astype(np.int64)
+
+    return elements.withColumn("tile_idx", _assign(F.col("qt"))).withColumn(
+        "tile_qt", _tile_qt(F.col("tile_idx"))
+    )
+
+
+def write_tiled(elements_with_tiles: DataFrame, path: str, n_buckets: int | None = None):
+    """O1: shuffle every element to its tile, write partitioned + sorted.
+
+    ``repartition(tile_idx)`` + ``sortWithinPartitions(tile_idx, id)`` gives the
+    reference's tiled, id-sorted layout; hive partitioning by tile_idx gives
+    partition pruning on read (Iceberg partition transform in production).
+    """
+    (
+        elements_with_tiles.repartition(F.col("tile_idx"))
+        .sortWithinPartitions("tile_idx", "id")
+        .write.mode("overwrite")
+        .partitionBy("tile_idx")
+        .parquet(path)
+    )
+
+
+def tiling_pipeline(
+    docs: DataFrame,
+    target: int = GROUP_TARGET,
+    minimum: int = GROUP_MINIMUM,
+    level: int = QT_TREE_MAX_LEVEL,
+):
+    """End-to-end prepare pipeline (§3.1): docs → elements → counts → groups
+    → assigned elements. Returns (elements_df, counts_pdf, groups_pdf)."""
+    from .spans import explode_geoms
+
+    elements = explode_geoms(docs)
+    counts = count_tree(elements, level)
+    groups = find_groups(
+        counts["cell"].to_numpy(np.int64),
+        counts["cnt"].to_numpy(np.int64),
+        target,
+        minimum,
+    )
+    assigned = assign_tiles(elements, groups, level)
+    return assigned, counts, groups

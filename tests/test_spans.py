@@ -1,0 +1,59 @@
+"""Span parsing + the span-sequence invariant (BASELINE.json input_hint)."""
+
+from pyspark.sql import functions as F
+
+from osmquadtree_bin_spark.spans import explode_geoms, span_fingerprint
+from osmquadtree_bin_spark import quadtree as qtk
+
+import numpy as np
+
+
+def test_explode_geoms_schema_and_lineage(spark, docs):
+    el = explode_geoms(docs)
+    rows = el.limit(50).collect()
+    assert rows, "no geometry spans parsed"
+    for r in rows:
+        assert r.doc_id.startswith("doc_")
+        assert r.geom_type in (0, 1, 2)
+        assert r.minx <= r.maxx and r.miny <= r.maxy
+        assert r.npoints >= 1
+        # packed id: type in bits >=59 (osmquadtree-postgis.go:279-284)
+        assert (r.id >> 59) == r.geom_type
+        assert r.qt >= 0 and (r.qt & 31) <= qtk.MAX_DEPTH
+
+
+def test_geom_count_matches_input(spark, docs):
+    n_geom_spans = (
+        docs.select(F.explode("spans").alias("s")).filter(F.col("s.kind") == "geom").count()
+    )
+    assert explode_geoms(docs).count() == n_geom_spans
+
+
+def test_qt_contains_bbox(spark, docs):
+    el = explode_geoms(docs).limit(200).toPandas()
+    keys = el["qt"].to_numpy(np.int64)
+    bminx, bminy, bmaxx, bmaxy = qtk.bounds(keys, 0.05)
+    assert (bminx <= el["minx"].to_numpy() + 1).all()
+    assert (bmaxx >= el["maxx"].to_numpy() - 1).all()
+    assert (bminy <= el["miny"].to_numpy() + 1).all()
+    assert (bmaxy >= el["maxy"].to_numpy() - 1).all()
+
+
+def test_span_sequence_invariant_through_pipeline(spark, docs):
+    """Tiling never touches the spans column: fingerprints identical before
+    and after running the pipeline and joining results back by doc_id."""
+    from osmquadtree_bin_spark.tiling import tiling_pipeline
+
+    before = span_fingerprint(docs)
+    assigned, _, _ = tiling_pipeline(docs, target=500, minimum=250)
+    # join tiling results back to the ORIGINAL docs by doc_id (the rule:
+    # never explode-and-regroup spans)
+    enriched = docs.join(
+        assigned.groupBy("doc_id").agg(F.count("*").alias("n_geoms")), "doc_id", "left"
+    )
+    after = span_fingerprint(enriched.select("doc_id", "spans"))
+    diff = before.alias("b").join(after.alias("a"), "doc_id").filter(
+        F.col("b.span_digest") != F.col("a.span_digest")
+    )
+    assert diff.count() == 0
+    assert after.count() == before.count()

@@ -1,0 +1,93 @@
+"""Element-assembly joins (J2, J3, J4) — the rebase/prepare quadtree resolution.
+
+Reference semantics (``/root/reference/osmquadtree-rebase.go``):
+  J2 (:397-404)  way bbox = min/max over member node locations, then
+                 ``quadtree.Calculate(bbox, 0.05, 18)``.
+  J3 (:365-379)  each member node's qt merges the way qt via Common (LCA);
+                 a node not used by any way falls back to its own point qt
+                 (:108-113).
+  J4 (:184-312)  relation qt = LCA of member node/way qts; relation-of-
+                 relation resolved by 5 fixed-point iterations (:275-282);
+                 unresolved leftovers default to qt 0 (:304-312).
+
+Spark shape (SURVEY.md §2.3): explode refs → equi-join on node id (THE big
+shuffle — both sides repartitioned on ref) → groupBy way → min/max agg →
+vectorized Calculate; back-propagation is the reverse join + LCA grouped agg;
+relations are a fixed 5-iteration loop of explode-join-agg, exactly the
+reference's unroll.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..udfs import qt_calculate, qt_lca_agg, qt_point
+
+
+def node_qts(nodes: DataFrame) -> DataFrame:
+    """Own-location qt per node (fallback when no way contains it)."""
+    return nodes.select("id", qt_point(F.col("lon"), F.col("lat")).alias("qt"))
+
+
+def way_qts(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """J2: (way id, qt) via member-location bbox + Calculate."""
+    refs = ways.select("id", F.explode("refs").alias("ref"))
+    joined = refs.join(
+        nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref"
+    )
+    bbox = joined.groupBy("id").agg(
+        F.min("lon").alias("minx"),
+        F.min("lat").alias("miny"),
+        F.max("lon").alias("maxx"),
+        F.max("lat").alias("maxy"),
+    )
+    return bbox.select("id", qt_calculate("minx", "miny", "maxx", "maxy").alias("qt"))
+
+
+def node_qts_with_way_backprop(nodes: DataFrame, ways: DataFrame, wqts: DataFrame) -> DataFrame:
+    """J3: node qt = LCA(own point qt, qts of all ways using it)."""
+    own = node_qts(nodes)
+    way_member = (
+        ways.select("id", F.explode("refs").alias("nid"))
+        .join(wqts.withColumnRenamed("qt", "way_qt"), "id")
+        .select(F.col("nid").alias("id"), F.col("way_qt").alias("qt"))
+    )
+    merged = own.unionByName(way_member)
+    return merged.groupBy("id").agg(qt_lca_agg(F.col("qt")).alias("qt"))
+
+
+def relation_qts(
+    relations: DataFrame, nqts: DataFrame, wqts: DataFrame, iterations: int = 5
+) -> DataFrame:
+    """J4: relation qt = LCA of member qts; rel-of-rel via the reference's
+    fixed 5-iteration unroll; unresolved → qt 0 (``osmquadtree-rebase.go:304``)."""
+    members = relations.select(
+        "id", F.explode("members").alias("m")
+    ).select("id", F.col("m.mtype").alias("mtype"), F.col("m.ref").alias("ref"))
+
+    node_side = members.filter(F.col("mtype") == 0).join(
+        nqts.select(F.col("id").alias("ref"), F.col("qt")), "ref"
+    ).select("id", "qt")
+    way_side = members.filter(F.col("mtype") == 1).join(
+        wqts.select(F.col("id").alias("ref"), F.col("qt")), "ref"
+    ).select("id", "qt")
+    base = node_side.unionByName(way_side)
+
+    rel_members = members.filter(F.col("mtype") == 2).cache()
+    # iteration 0: relations with only node/way members resolve immediately
+    resolved = base.groupBy("id").agg(qt_lca_agg(F.col("qt")).alias("qt"))
+    for _ in range(iterations):
+        # rel-of-rel: pull current member-relation qts in, recompute LCA
+        from_rels = rel_members.join(
+            resolved.select(F.col("id").alias("ref"), F.col("qt")), "ref"
+        ).select("id", "qt")
+        resolved = (
+            base.unionByName(from_rels)
+            .groupBy("id")
+            .agg(qt_lca_agg(F.col("qt")).alias("qt"))
+        )
+    # leftovers (circular / missing members, empty relations) default to 0
+    all_rels = relations.select("id")
+    return all_rels.join(resolved, "id", "left").select(
+        "id", F.coalesce(F.col("qt"), F.lit(0)).alias("qt")
+    )

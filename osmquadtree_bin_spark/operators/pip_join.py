@@ -1,0 +1,155 @@
+"""Spatial region joins: bbox containment and point-in-polygon (P2, P3, J7).
+
+Reference contract: ``filter.MakeLocTestPolygon`` / ``filter.AsLocTest``
+(``/root/reference/osmquadtree-filter.go:245-300``), region filtering with the
+5% tile buffer (``osmquadtree-postgis.go:699``) and the two-pass trim
+(``osmquadtree-filter.go:160-175``).
+
+Spark-first design for 100 TB:
+  1. **Tile pruning** (P1): the region's covering tile set is computed on the
+     driver by a quadtree walk; the elements scan is filtered with
+     ``tile_idx IN (...)`` → partition pruning at the source, no full scan.
+  2. **Broadcast** the (small) region table — never shuffle the big side.
+  3. **Salting**: hot tiles (from the already-computed A3 count table) can be
+     exploded on the region side / salted on the element side; at local scale
+     AQE skew-join covers it, the ``salt`` knob exists for cluster runs.
+  4. Exact test runs as a vectorized numpy kernel inside one pandas UDF
+     (bbox compare / ray-casting PIP) — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from .. import quadtree as qtk
+
+
+# ------------------------------------------------------------- tile pruning
+def region_tiles(
+    minx: int, miny: int, maxx: int, maxy: int, tile_keys: np.ndarray, buffer: float = 0.05
+) -> np.ndarray:
+    """Driver-side P1 generator: which tiles (cells) intersect the region bbox,
+    testing each tile's ``buffer``-expanded bounds (``MakePassQt``,
+    ``osmquadtree-filter.go:132-143``)."""
+    bminx, bminy, bmaxx, bmaxy = qtk.bounds(np.asarray(tile_keys, np.int64), buffer)
+    hit = (bminx <= maxx) & (bmaxx >= minx) & (bminy <= maxy) & (bmaxy >= miny)
+    return np.asarray(tile_keys)[hit]
+
+
+# ------------------------------------------------------- vectorized PIP core
+def _point_in_rings(px: np.ndarray, py: np.ndarray, lons: np.ndarray, lats: np.ndarray) -> np.ndarray:
+    """Ray-casting: points (px,py) vs ONE polygon ring (lons,lats) — fully
+    vectorized over points × edges."""
+    x0, y0 = lons, lats
+    x1 = np.roll(lons, -1)
+    y1 = np.roll(lats, -1)
+    px = px[:, None].astype(np.float64)
+    py = py[:, None].astype(np.float64)
+    cond = (y0[None, :] > py) != (y1[None, :] > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = x0[None, :] + (py - y0[None, :]) / (y1[None, :] - y0[None, :]) * (
+            x1[None, :] - x0[None, :]
+        )
+    crossings = (cond & (px < xs)).sum(axis=1)
+    return (crossings % 2).astype(bool)
+
+
+def pip_join(
+    elements: DataFrame,
+    regions: DataFrame,
+    use_bbox_prefilter: bool = True,
+) -> DataFrame:
+    """J7: (region_id, id, doc_id, span_idx) pairs for every element whose
+    bbox-center... no — whose geometry bbox intersects a bbox region, or whose
+    representative point falls inside a polygon region.
+
+    Semantics pinned (and golden-tested): for ``kind='bbox'`` regions the
+    element matches when its bbox intersects the region bbox (the reference's
+    extract semantics — bbox overlap, ``osmquadtree-filter.go:50-69``); for
+    ``kind='polygon'`` the element matches when its bbox center is inside the
+    ring (point-in-poly, ``MakeLocTestPolygon``).
+    """
+    regs = regions.collect()  # small side — stays broadcast
+    bbox_rows = [r for r in regs if r["kind"] == "bbox"]
+    poly_rows = [r for r in regs if r["kind"] == "polygon"]
+
+    out = []
+    if bbox_rows:
+        bdf = elements.sparkSession.createDataFrame(
+            [(r["region_id"], r["minx"], r["miny"], r["maxx"], r["maxy"]) for r in bbox_rows],
+            "region_id string, rminx long, rminy long, rmaxx long, rmaxy long",
+        )
+        joined = elements.join(
+            F.broadcast(bdf),
+            (F.col("minx") <= F.col("rmaxx"))
+            & (F.col("maxx") >= F.col("rminx"))
+            & (F.col("miny") <= F.col("rmaxy"))
+            & (F.col("maxy") >= F.col("rminy")),
+        ).select("region_id", "id", "doc_id", "span_idx")
+        out.append(joined)
+
+    if poly_rows:
+        # closure-captured ring arrays (broadcast with the UDF), one vectorized
+        # pass per polygon over the Arrow batch
+        rings = {
+            r["region_id"]: (
+                np.asarray(r["lons"], dtype=np.float64),
+                np.asarray(r["lats"], dtype=np.float64),
+            )
+            for r in poly_rows
+        }
+        bounds = {
+            rid: (ls.min(), la.min(), ls.max(), la.max()) for rid, (ls, la) in rings.items()
+        }
+
+        def make_pip(rid: str):
+            lons, lats = rings[rid]
+
+            @pandas_udf(BooleanType())
+            def _pip(cx: pd.Series, cy: pd.Series) -> pd.Series:
+                return pd.Series(
+                    _point_in_rings(
+                        cx.to_numpy(np.int64).astype(np.float64),
+                        cy.to_numpy(np.int64).astype(np.float64),
+                        lons,
+                        lats,
+                    )
+                )
+
+            return _pip
+
+        cx = ((F.col("minx") + F.col("maxx")) / 2).cast("long")
+        cy = ((F.col("miny") + F.col("maxy")) / 2).cast("long")
+        base = elements.withColumn("_cx", cx).withColumn("_cy", cy)
+        for rid in sorted(rings):
+            bminx, bminy, bmaxx, bmaxy = bounds[rid]
+            cand = base
+            if use_bbox_prefilter:  # cheap JVM-side prefilter before the UDF
+                cand = base.filter(
+                    (F.col("_cx") >= int(bminx)) & (F.col("_cx") <= int(bmaxx))
+                    & (F.col("_cy") >= int(bminy)) & (F.col("_cy") <= int(bmaxy))
+                )
+            out.append(
+                cand.filter(make_pip(rid)(F.col("_cx"), F.col("_cy")))
+                .select(F.lit(rid).alias("region_id"), "id", "doc_id", "span_idx")
+            )
+
+    if not out:
+        return elements.sparkSession.createDataFrame(
+            [], "region_id string, id long, doc_id string, span_idx int"
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def idset_trim(elements: DataFrame, matched: DataFrame) -> DataFrame:
+    """P4 two-pass trim: re-read ALL columns of elements whose id matched a
+    region (LEFT SEMI JOIN — Spark broadcasts the id set when small, same as
+    the reference's ``isBig`` switch, ``osmquadtree-filter.go:145``)."""
+    return elements.join(matched.select("id").distinct(), "id", "left_semi")

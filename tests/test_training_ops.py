@@ -1,0 +1,174 @@
+"""Dedup, similarity, text-stats, multimodal plumbing tests (build-brief ops)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtree_bin_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from osmquadtree_bin_spark.operators.multimodal import extract_features, synth_media
+from osmquadtree_bin_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from osmquadtree_bin_spark.operators.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_columns,
+    token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_dedup_exact(spark, documents):
+    d = dedup_exact(documents, "doc_id", "text").toPandas()
+    n_docs = documents.count()
+    assert d["n_dups"].sum() == n_docs
+    assert d["text_hash"].is_unique
+    n_distinct = documents.select("text").distinct().count()
+    assert len(d) == n_distinct
+
+
+def test_minhash_self_similarity(spark, documents):
+    """A doc duplicated verbatim must produce an identical signature and be
+    found as a 1.0-jaccard pair."""
+    dup = documents.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = documents.limit(20).unionByName(dup)
+    sigs = minhash_signatures(both, num_perm=32)
+    pairs = minhash_lsh_pairs(sigs, bands=8, rows_per_band=4, jaccard_threshold=0.9).toPandas()
+    dup_pairs = pairs[pairs.id_b - pairs.id_a == 100000]
+    assert len(dup_pairs) == 3
+    assert (dup_pairs["est_jaccard"] == 1.0).all()
+
+
+def test_simhash_near_pairs(spark, documents):
+    dup = documents.limit(2).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = documents.limit(15).unionByName(dup)
+    sh = simhash(both)
+    pairs = simhash_near_pairs(sh, max_hamming=0).toPandas()
+    assert {(a % 100000, b % 100000) for a, b in zip(pairs.id_a, pairs.id_b)} >= {
+        (0, 0), (1, 1)
+    }
+
+
+def test_ngram_jaccard_verify(spark, documents):
+    pairs = spark.createDataFrame([(0, 0)], "id_a long, id_b long")
+    docs2 = documents.withColumnRenamed("doc_id", "doc_id")
+    j = ngram_jaccard_pairs(
+        docs2.select(F.col("doc_id").alias("doc_id"), "text"), pairs, n=3
+    )
+    # self-pair → jaccard 1.0
+    row = j.collect()[0]
+    assert row["jaccard"] == 1.0
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    qrows = embeddings.limit(2).collect()
+    queries = spark.createDataFrame(
+        [(f"q{r['vec_id']}", r["embedding"]) for r in qrows],
+        "query_id string, qvec array<float>",
+    )
+    got = cosine_topk(embeddings, queries, k=5).toPandas()
+    emb = embeddings.toPandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    for r in qrows:
+        q = np.asarray(r["embedding"], dtype=np.float64)
+        cos = mat @ q / (norms * np.linalg.norm(q))
+        order = pd.DataFrame({"vec_id": emb.vec_id, "cos": cos}).sort_values(
+            ["cos", "vec_id"], ascending=[False, True]
+        )
+        want = order["vec_id"].head(5).tolist()
+        have = (
+            got[got.query_id == f"q{r['vec_id']}"].sort_values("rank")["vec_id"].tolist()
+        )
+        assert have == want
+        # rank 1 must be the query itself (cosine 1)
+        assert have[0] == r["vec_id"]
+
+
+def test_lsh_topk_finds_self(spark, embeddings):
+    qrows = embeddings.limit(2).collect()
+    queries = spark.createDataFrame(
+        [(f"q{r['vec_id']}", r["embedding"]) for r in qrows],
+        "query_id string, qvec array<float>",
+    )
+    dim = len(qrows[0]["embedding"])
+    got = lsh_bucket_topk(embeddings, queries, dim=dim, k=3, nbits=8).toPandas()
+    for r in qrows:
+        sub = got[got.query_id == f"q{r['vec_id']}"].sort_values("rank")
+        assert len(sub) >= 1 and sub.iloc[0]["vec_id"] == r["vec_id"]
+
+
+def test_token_count_and_quality(spark, documents):
+    df = quality_columns(documents).toPandas()
+    pdf = documents.toPandas()
+    want = pdf["text"].str.split().str.len().fillna(0)
+    assert (df["n_tokens"].to_numpy() == want.to_numpy()).all()
+    assert ((df["punct_ratio"] >= 0) & (df["punct_ratio"] <= 1)).all()
+    assert ((df["stopword_ratio"] >= 0) & (df["stopword_ratio"] <= 1)).all()
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([("Hello, world 42!",), ("",)], "text string")
+    got = df.select(bpe_ish_token_count(F.col("text")).alias("n")).collect()
+    assert got[0]["n"] == 5  # Hello , world 42 !
+    assert got[1]["n"] == 0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog of the house",), ("el la de ción el la",), ("zzz",)],
+        "text string",
+    )
+    got = [r["lang_guess"] for r in lang_id(df).collect()]
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "und"
+
+
+def test_fingerprint_stability_and_locality(spark, documents):
+    fp1 = fingerprint(documents.limit(10)).toPandas().set_index("doc_id")["fingerprint"]
+    fp2 = fingerprint(documents.limit(10)).toPandas().set_index("doc_id")["fingerprint"]
+    pd.testing.assert_series_equal(fp1, fp2)
+    # appending text keeps the min-rolling-hash with high probability
+    app = documents.limit(10).withColumn("text", F.concat(F.col("text"), F.lit(" suffix")))
+    fp3 = fingerprint(app).toPandas().set_index("doc_id")["fingerprint"]
+    assert (fp1 == fp3).mean() >= 0.8
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = synth_media(spark, docs)
+    n = media.count()
+    assert n > 0
+    feats = extract_features(media, fake_decode=True)
+    pdf = feats.toPandas()
+    assert (pdf["decode_ok"] == 1).all()
+    assert pdf["feature"].map(len).eq(8).all()
+    # determinism
+    pdf2 = extract_features(synth_media(spark, docs), fake_decode=True).toPandas()
+    m1 = pdf.sort_values("media_ref").reset_index(drop=True)
+    m2 = pdf2.sort_values("media_ref").reset_index(drop=True)
+    assert (m1["feature"].map(tuple) == m2["feature"].map(tuple)).all()
+
+
+def test_multimodal_decode_stub_raises(spark, docs):
+    media = synth_media(spark, docs).limit(2)
+    feats = extract_features(media, fake_decode=False).toPandas()
+    assert (feats["decode_ok"] == 0).all()

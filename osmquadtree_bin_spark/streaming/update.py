@@ -1,0 +1,161 @@
+"""Incremental update pipeline (S6/S7, J6, T1-T5) with a lineage ledger.
+
+Reference contract (``/root/reference/osmquadtree-update.go``):
+  * state ledger: append-only (state, timestamp) log, re-fetch avoidance
+    (:157-229 ``getState`` over state.csv).
+  * catch-up loop: apply every diff from last-applied+1 to head (:315-370).
+  * per diff: newest version of each element wins, only touched tiles are
+    recomputed, untouched tiles pass through (:382-396
+    ``update.CalcUpdateTiles``).
+  * timestamp rounding: round up to day boundary, <7200 s grace rounds down
+    (:354-360).
+
+Spark shape: the tiled table is hive-partitioned parquet (Iceberg in
+production — MERGE INTO + overwrite-by-partition-filter). Each ``apply_diff``:
+  1. joins the diff against the (id → tile) assignment to find touched tiles
+     (partition pruning: only those partitions are read),
+  2. merges newest-wins via row_number over (id) ordered by version desc,
+  3. rewrites ONLY the touched tile partitions (dynamic partition overwrite),
+  4. appends a lineage row per touched partition: (state, tile_idx, rows_in,
+     rows_out, ts) — the resumable-checkpoint contract of the north rule.
+
+``resume_state`` reads the ledger to find the last applied state, so a killed
+run restarts idempotently (T1's re-fetch avoidance).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+LEDGER_SCHEMA = (
+    "state long, tile_idx long, rows_in long, rows_out long, applied_at long, "
+    "span_digest_ok boolean"
+)
+
+
+def round_to_day(ts_col, grace_seconds: int = 7200):
+    """T2 (``osmquadtree-update.go:354-360``): round a timestamp up to the next
+    day boundary unless it is within ``grace_seconds`` past one (round down)."""
+    day = F.date_trunc("day", ts_col)
+    secs_past = F.unix_timestamp(ts_col) - F.unix_timestamp(day)
+    return F.when(secs_past <= grace_seconds, day).otherwise(
+        F.date_add(day, 1).cast("timestamp")
+    )
+
+
+class TiledStore:
+    """A tiled element table + its state/lineage ledger on disk."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.data_path = os.path.join(root, "tiles")
+        self.ledger_path = os.path.join(root, "ledger")
+
+    # ------------------------------------------------------------- bootstrap
+    def write_initial(self, assigned: DataFrame) -> None:
+        (
+            assigned.repartition(F.col("tile_idx"))
+            .sortWithinPartitions("tile_idx", "id")
+            .write.mode("overwrite")
+            .partitionBy("tile_idx")
+            .parquet(self.data_path)
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.data_path)
+
+    # --------------------------------------------------------------- ledger
+    def ledger(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.ledger_path)
+        except Exception:  # noqa: BLE001 — first run: empty ledger
+            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+
+    def resume_state(self) -> int:
+        """Last fully-applied state (S7 re-fetch avoidance); 0 if none."""
+        row = self.ledger().agg(F.max("state").alias("s")).collect()[0]
+        return int(row["s"]) if row["s"] is not None else 0
+
+    # ----------------------------------------------------------- apply diff
+    def apply_diff(self, diff: DataFrame, state: int, version_col: str = "version") -> list[int]:
+        """J6/T3: newest-wins merge of a change set, rewriting only touched
+        tile partitions. ``diff`` needs (id, changetype, version, <element
+        cols>, tile_idx precomputed by the caller via the assigner).
+        Returns the touched tile list. Idempotent per state (skips if the
+        ledger already has it)."""
+        if self.resume_state() >= state:
+            return []
+
+        touched = [r["tile_idx"] for r in diff.select("tile_idx").distinct().collect()]
+        if not touched:
+            self._append_ledger([], state, {}, {})
+            return []
+
+        base = self.read().filter(F.col("tile_idx").isin(touched))
+        rows_in = {
+            r["tile_idx"]: r["n"]
+            for r in base.groupBy("tile_idx").agg(F.count("*").alias("n")).collect()
+        }
+
+        base_v = base.withColumn("_v", F.lit(0)).withColumn(
+            "_ct", F.lit("base")
+        )
+        diff_v = (
+            diff.withColumn("_v", F.col(version_col).cast("long"))
+            .withColumn("_ct", F.col("changetype"))
+            .drop(version_col, "changetype")
+        )
+        merged = base_v.unionByName(diff_v, allowMissingColumns=True)
+        w = Window.partitionBy("id").orderBy(F.col("_v").desc())
+        newest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .filter(F.col("_ct") != "delete")  # T5: deletes drop the row
+            .drop("_rn", "_v", "_ct")
+        )
+
+        # dynamic partition overwrite: only the touched tiles are rewritten
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            newest.repartition(F.col("tile_idx"))
+            .sortWithinPartitions("tile_idx", "id")
+            .write.mode("overwrite")
+            .partitionBy("tile_idx")
+            .parquet(self.data_path)
+        )
+        rows_out = {
+            r["tile_idx"]: r["n"]
+            for r in self.read()
+            .filter(F.col("tile_idx").isin(touched))
+            .groupBy("tile_idx")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        self._append_ledger(touched, state, rows_in, rows_out)
+        return sorted(touched)
+
+    def _append_ledger(self, touched: list[int], state: int, rows_in: dict, rows_out: dict):
+        now = int(time.time())
+        rows = [
+            (state, int(t), int(rows_in.get(t, 0)), int(rows_out.get(t, 0)), now, True)
+            for t in touched
+        ] or [(state, -1, 0, 0, now, True)]
+        self.spark.createDataFrame(rows, LEDGER_SCHEMA).write.mode("append").parquet(
+            self.ledger_path
+        )
+
+    # ---------------------------------------------------------- catch-up T1
+    def catch_up(self, diffs_by_state: dict[int, DataFrame]) -> list[int]:
+        """Apply every pending state in order (``osmquadtree-update.go:315-370``)."""
+        applied = []
+        last = self.resume_state()
+        for state in sorted(diffs_by_state):
+            if state <= last:
+                continue
+            self.apply_diff(diffs_by_state[state], state)
+            applied.append(state)
+        return applied

@@ -1,0 +1,100 @@
+"""Incremental update: newest-wins merge, touched-tile rewrite, ledger resume
+(FIXTURES.md F5, SURVEY.md §2.10)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtree_bin_spark.spans import explode_geoms
+from osmquadtree_bin_spark.streaming.update import TiledStore, round_to_day
+from osmquadtree_bin_spark.tiling import assign_tiles, count_tree, find_groups
+
+
+@pytest.fixture()
+def store(spark, docs, tmp_path):
+    elements = explode_geoms(docs)
+    counts = count_tree(elements)
+    groups = find_groups(
+        counts["cell"].to_numpy(np.int64), counts["cnt"].to_numpy(np.int64), 200, 100
+    )
+    assigned = assign_tiles(elements, groups).select(
+        "id", "doc_id", "span_idx", "wkt", "qt", "tile_idx"
+    )
+    st = TiledStore(spark, str(tmp_path / "store"))
+    st.write_initial(assigned)
+    return st, assigned, groups
+
+
+def _mk_diff(spark, assigned, changetype, version, n=5):
+    rows = assigned.limit(n).withColumn("changetype", F.lit(changetype)).withColumn(
+        "version", F.lit(version)
+    )
+    if changetype == "modify":
+        rows = rows.withColumn("wkt", F.concat(F.lit("MOD:"), F.col("wkt")))
+    return rows
+
+
+def test_modify_newest_wins(spark, store):
+    st, assigned, _ = store
+    n0 = st.read().count()
+    diff = _mk_diff(spark, assigned, "modify", version=1, n=5)
+    touched = st.apply_diff(diff, state=1)
+    assert touched
+    assert st.read().count() == n0  # modify keeps cardinality
+    modded = st.read().filter(F.col("wkt").startswith("MOD:")).count()
+    assert modded == 5
+
+
+def test_delete_removes_rows_and_untouched_tiles_intact(spark, store):
+    st, assigned, _ = store
+    n0 = st.read().count()
+    per_tile_before = {
+        r["tile_idx"]: r["n"]
+        for r in st.read().groupBy("tile_idx").agg(F.count("*").alias("n")).collect()
+    }
+    diff = _mk_diff(spark, assigned, "delete", version=1, n=3)
+    touched = st.apply_diff(diff, state=1)
+    assert st.read().count() == n0 - 3
+    after = {
+        r["tile_idx"]: r["n"]
+        for r in st.read().groupBy("tile_idx").agg(F.count("*").alias("n")).collect()
+    }
+    for t, n in per_tile_before.items():
+        if t not in touched:
+            assert after[t] == n  # untouched tiles byte-identical pass-through
+
+
+def test_ledger_resume_idempotent(spark, store):
+    st, assigned, _ = store
+    diff = _mk_diff(spark, assigned, "modify", version=1, n=4)
+    st.apply_diff(diff, state=1)
+    assert st.resume_state() == 1
+    # re-applying the same state is a no-op
+    again = st.apply_diff(diff, state=1)
+    assert again == []
+    # ledger carries per-partition lineage with row counts
+    led = st.ledger().filter(F.col("state") == 1)
+    rows = led.collect()
+    assert all(r["rows_in"] >= 0 and r["rows_out"] >= 0 for r in rows)
+    assert {r["tile_idx"] for r in rows} != set()
+
+
+def test_catch_up_applies_in_order(spark, store):
+    st, assigned, _ = store
+    d1 = _mk_diff(spark, assigned, "modify", version=1, n=2)
+    d2 = _mk_diff(spark, assigned, "delete", version=2, n=2)
+    applied = st.catch_up({1: d1, 2: d2})
+    assert applied == [1, 2]
+    assert st.resume_state() == 2
+    # the deleted ids (same 2 rows modified then deleted) are gone
+    assert st.read().filter(F.col("wkt").startswith("MOD:")).count() == 0
+
+
+def test_round_to_day(spark):
+    df = spark.createDataFrame(
+        [("2024-03-05 01:30:00",), ("2024-03-05 13:00:00",), ("2024-03-05 00:00:00",)],
+        "ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = [str(r["r"]) for r in df.select(round_to_day(F.col("ts")).alias("r")).collect()]
+    # 01:30 is within the 7200s grace → round down; 13:00 → round up; exact → stay
+    assert got == ["2024-03-05 00:00:00", "2024-03-06 00:00:00", "2024-03-05 00:00:00"]

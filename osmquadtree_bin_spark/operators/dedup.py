@@ -151,7 +151,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
                 np.int32
             )
             score = (2 * bits - 1).sum(axis=0)
-            out[i] = int(((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            val = ((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                dtype=np.uint64
+            )
+            out[i] = np.array([val], dtype=np.uint64).view(np.int64)[0]
         return pd.Series(out)
 
     return docs.select(F.col(id_col).alias("id"), _sim(F.col(text_col)).alias("simhash"))

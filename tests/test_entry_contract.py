@@ -1,0 +1,71 @@
+"""Driver-contract validation: every queries() entry runs; every oracle_sql()
+entry matches the Spark result on row count, column names, and values —
+mimicking the driver's order-insensitive compare at sf0.01-style data
+(sf0.001 here to keep CI fast; the driver runs the real sf0.01 gate)."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].round(6)
+        elif pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values(list(pdf.columns), kind="stable").reset_index(drop=True)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"tile_idx", "tile_qt", "n_elements"} <= set(df.columns)
+
+
+def test_all_queries_run(spark):
+    qs = entrymod.queries()
+    assert len(qs) >= 25
+    for name, fn in sorted(qs.items()):
+        df = fn(spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_oracle_matches(spark, duck, name):
+    qs = entrymod.queries()
+    assert name in qs, f"oracle {name} has no queries() entry"
+    got = _normalize(qs[name](spark, SF_DIR).toPandas())
+    want = _normalize(duck.execute(entrymod.oracle_sql()[name]).fetchdf())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rowcount {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)

@@ -56,6 +56,45 @@ def node_qts_with_way_backprop(nodes: DataFrame, ways: DataFrame, wqts: DataFram
     return merged.groupBy("id").agg(qt_lca_agg(F.col("qt")).alias("qt"))
 
 
+def way_admin_levels(relations: DataFrame) -> DataFrame:
+    """A5 calc_minmax (``extrastyle.json:71-72``, cols added
+    ``osmquadtree-postgis.go:83-86``): per way, min/max admin_level over the
+    administrative-boundary relations containing it. ``relations`` needs
+    (id, members, tags:map)."""
+    admin = relations.filter(
+        (F.element_at(F.col("tags"), "boundary") == "administrative")
+        & F.element_at(F.col("tags"), "admin_level").rlike(r"^[0-9]+$")
+    ).select(
+        F.element_at(F.col("tags"), "admin_level").cast("long").alias("admin_level"),
+        F.explode("members").alias("m"),
+    )
+    way_members = admin.filter(F.col("m.mtype") == 1).select(
+        F.col("m.ref").alias("id"), "admin_level"
+    )
+    return way_members.groupBy("id").agg(
+        F.min("admin_level").alias("min_admin_level"),
+        F.max("admin_level").alias("max_admin_level"),
+    )
+
+
+def way_route_lists(relations: DataFrame, route_type: str = "bus") -> DataFrame:
+    """A7 calc_list (``extrastyle.json:74``, split back out
+    ``osmquadtree-geometry-features.go:411-440``): per way, the sorted
+    ';'-joined refs of the ``route=<type>`` relations containing it."""
+    routes = relations.filter(
+        (F.element_at(F.col("tags"), "route") == route_type)
+        & F.element_at(F.col("tags"), "ref").isNotNull()
+    ).select(
+        F.element_at(F.col("tags"), "ref").alias("ref"), F.explode("members").alias("m")
+    )
+    way_members = routes.filter(F.col("m.mtype") == 1).select(
+        F.col("m.ref").alias("id"), "ref"
+    )
+    return way_members.groupBy("id").agg(
+        F.concat_ws(";", F.sort_array(F.collect_set("ref"))).alias(f"{route_type}_routes")
+    )
+
+
 def relation_qts(
     relations: DataFrame, nqts: DataFrame, wqts: DataFrame, iterations: int = 5
 ) -> DataFrame:

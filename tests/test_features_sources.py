@@ -1,0 +1,139 @@
+"""Feature fan-out, .poly source, GeoJSON sink, tiled-store query engine,
+A5/A7 relation-derived columns."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from osmquadtree_bin_spark.operators.element_joins import way_admin_levels, way_route_lists
+from osmquadtree_bin_spark.operators.features import feature_fanout, feature_summary
+from osmquadtree_bin_spark.sources import poly_to_regions, read_poly, to_geojson, write_poly
+from osmquadtree_bin_spark.spans import explode_geoms
+
+
+def test_feature_fanout(spark, docs):
+    el = explode_geoms(docs)
+    f = feature_fanout(el)
+    rows = f.limit(200).collect()
+    assert rows
+    for r in rows:
+        assert r.table in ("point", "line", "polygon")
+        assert r.feature_value is not None
+        if r.table != "line":
+            assert r.prio == 0
+    # dedup: no duplicate (id, table, feature)
+    total = f.count()
+    assert f.dropDuplicates(["id", "table", "feature"]).count() == total
+    # summary is deterministic + sorted
+    s = feature_summary(f).toPandas()
+    assert (s.sort_values(["table", "feature"]).reset_index(drop=True) == s).all().all()
+
+
+def test_feature_prio_for_lines(spark):
+    el = spark.createDataFrame(
+        [Row(id=1, geom_type=1, tags={"highway": "motorway"}),
+         Row(id=2, geom_type=1, tags={"waterway": "river"}),
+         Row(id=3, geom_type=0, tags={"highway": "motorway"})],
+    )
+    f = {(r.id, r.feature): r.prio for r in feature_fanout(el).collect()}
+    assert f[(1, "highway")] == 380
+    assert f[(2, "waterway")] == 50
+    assert f[(3, "highway")] == 0  # points carry no line prio
+
+
+def test_poly_roundtrip(spark, tmp_path):
+    rings = [
+        ([-10000000, 10000000, 10000000, -10000000], [515000000, 515000000, 520000000, 520000000], False),
+        ([0, 1000000, 0], [516000000, 516000000, 517000000], True),
+    ]
+    p = tmp_path / "region.poly"
+    write_poly(str(p), "test_region", rings)
+    parsed = read_poly(str(p))
+    assert parsed["name"] == "test_region"
+    assert len(parsed["rings"]) == 2
+    assert parsed["rings"][1][2] is True  # hole flag
+    regs = poly_to_regions(spark, str(p))
+    rows = regs.collect()
+    assert len(rows) == 1  # holes excluded
+    assert rows[0]["kind"] == "polygon"
+
+
+def test_geojson_emission(spark, docs):
+    el = explode_geoms(docs).select("doc_id", "wkt", "geom_type").limit(20)
+    gj = json.loads(to_geojson(el))
+    assert gj["type"] == "FeatureCollection"
+    assert len(gj["features"]) == 20
+    for feat in gj["features"]:
+        assert feat["geometry"]["type"] in ("Point", "LineString", "Polygon")
+        assert "doc_id" in feat["properties"]
+        assert "wkt" not in feat["properties"]
+
+
+def test_admin_levels_and_routes(spark):
+    rels = spark.createDataFrame(
+        [
+            Row(id=1, members=[Row(mtype=1, ref=10, role="outer")],
+                tags={"boundary": "administrative", "admin_level": "4"}),
+            Row(id=2, members=[Row(mtype=1, ref=10, role="outer"),
+                               Row(mtype=1, ref=11, role="outer")],
+                tags={"boundary": "administrative", "admin_level": "8"}),
+            Row(id=3, members=[Row(mtype=1, ref=10, role="")],
+                tags={"route": "bus", "ref": "N7"}),
+            Row(id=4, members=[Row(mtype=1, ref=10, role="")],
+                tags={"route": "bus", "ref": "42"}),
+            Row(id=5, members=[Row(mtype=0, ref=10, role="")],
+                tags={"route": "bus", "ref": "X1"}),  # node member: ignored
+        ]
+    )
+    adm = {r["id"]: (r["min_admin_level"], r["max_admin_level"])
+           for r in way_admin_levels(rels).collect()}
+    assert adm[10] == (4, 8)
+    assert adm[11] == (8, 8)
+    routes = {r["id"]: r["bus_routes"] for r in way_route_lists(rels).collect()}
+    assert routes[10] == "42;N7"
+
+
+def test_tile_query_engine_pruning(spark, docs, tmp_path):
+    from osmquadtree_bin_spark.plans.store import TileQueryEngine
+    from osmquadtree_bin_spark.tiling import tiling_pipeline, write_tiled
+
+    assigned, counts, groups = tiling_pipeline(docs, target=200, minimum=100)
+    path = str(tmp_path / "tiled")
+    write_tiled(assigned, path)
+    eng = TileQueryEngine(spark, path, groups)
+
+    bbox = (int(-0.45e7), int(51.2e7), int(0.25e7), int(51.8e7))  # London hot cell
+    tiles = eng.pruned_tiles(*bbox)
+    assert 0 < len(tiles) < len(groups)
+    sliced = eng.scan_bbox(*bbox)
+    n = sliced.count()
+    assert n > 0
+    # partition pruning must reach the physical scan
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "tile_idx" in plan
+    # exact bbox predicate holds
+    bad = sliced.filter(
+        ~((F.col("minx") <= bbox[2]) & (F.col("maxx") >= bbox[0])
+          & (F.col("miny") <= bbox[3]) & (F.col("maxy") >= bbox[1]))
+    ).count()
+    assert bad == 0
+    # oversized bbox rejected (reference guard)
+    with pytest.raises(ValueError):
+        eng.scan_bbox(-1800000000, -850000000, 1800000000, 850000000)
+
+
+def test_corpus_query_on_store_slice(spark, docs, tmp_path):
+    from osmquadtree_bin_spark.plans.store import TileQueryEngine
+    from osmquadtree_bin_spark.tiling import tiling_pipeline, write_tiled
+
+    assigned, _, groups = tiling_pipeline(docs, target=200, minimum=100)
+    path = str(tmp_path / "tiled2")
+    write_tiled(assigned, path)
+    eng = TileQueryEngine(spark, path, groups)
+    df = eng.sql(
+        "SELECT osm_id, highway FROM planet_osm_line WHERE highway IS NOT NULL",
+        (int(-0.45e7), int(51.2e7), int(0.25e7), int(51.8e7)),
+    )
+    assert df.count() >= 0

@@ -41,7 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
     from osmquadtree_bin_spark.datagen import gen_docs
     from osmquadtree_bin_spark.tiling import tiling_pipeline
 
-    docs = gen_docs(spark, n_docs=400, seed=42)
+    # tiny smoke input: 8 partitions, not 32 — spawning a Python UDF worker
+    # per core costs more than the work itself at this scale
+    docs = gen_docs(spark, n_docs=400, seed=42).coalesce(8)
     assigned, _counts, _groups = tiling_pipeline(docs, target=500, minimum=250)
     return (
         assigned.groupBy("tile_idx", "tile_qt")

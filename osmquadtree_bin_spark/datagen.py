@@ -132,6 +132,48 @@ def gen_docs(spark, n_docs: int = 1000, seed: int = 42):
     return spark.createDataFrame(data, SPAN_SCHEMA)
 
 
+def _doc_rows(doc_ids, seed: int):
+    """Rows for a batch of doc indices — rng seeded PER DOC, so output is
+    deterministic regardless of partitioning (the property that lets the
+    same generator run at 10^12-doc scale on any cluster layout)."""
+    out_ids, out_spans = [], []
+    for i in doc_ids:
+        rng = np.random.default_rng((int(seed) << 34) ^ int(i))
+        n_spans = int(rng.integers(3, 21))
+        spans = []
+        offset = 0
+        for _ in range(n_spans):
+            r = rng.random()
+            if r < 0.30:
+                kind, text, media = "geom", _wkt_and_tags(rng), ""
+            elif r < 0.45:
+                kind, text = "media", ""
+                media = f"media://{int(rng.integers(0, 1 << 48)):012x}"
+            else:
+                kind = "text"
+                nw = int(rng.integers(3, 12))
+                text = " ".join(_WORDS[int(k)] for k in rng.integers(0, len(_WORDS), nw))
+                media = ""
+            spans.append({"kind": kind, "text": text, "media_ref": media, "offset": offset})
+            offset += max(len(text), 1)
+        out_ids.append(f"doc_{int(i):08d}")
+        out_spans.append(spans)
+    return pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+
+
+def gen_docs_dist(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Distributed F1 generator: spark.range → mapInPandas. Use for bench /
+    scale runs; ``gen_docs`` stays the small golden-fixture generator."""
+    rng_seed = seed
+    base = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            yield _doc_rows(pdf["id"].to_numpy(), rng_seed)
+
+    return base.mapInPandas(gen, SPAN_SCHEMA)
+
+
 def gen_regions(spark, n_bbox: int = 8, n_poly: int = 4, seed: int = 43):
     """F3: bbox + polygon regions; one region pinned over a hot cluster (skew),
     one over empty ocean (matches nothing)."""

@@ -26,8 +26,6 @@ remainder. Every cell therefore has exactly one ancestor-or-self group.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -43,24 +41,56 @@ GROUP_MINIMUM = 4000  # osmquadtree-prepare.go:89
 
 
 # --------------------------------------------------------------- A3 count tree
-def count_tree(elements: DataFrame, level: int = QT_TREE_MAX_LEVEL) -> pd.DataFrame:
+MAX_DRIVER_CELLS = 150_000  # cap on the driver-side tree (SURVEY.md §7 risk 6)
+
+
+def count_tree(
+    elements: DataFrame,
+    level: int = QT_TREE_MAX_LEVEL,
+    max_cells: int = MAX_DRIVER_CELLS,
+) -> pd.DataFrame:
     """Per-cell element counts at ``min(depth, level)`` (A3). Distributed agg,
-    small driver-side result (sorted by key = DFS pre-order)."""
-    pdf = (
+    small driver-side result (sorted by key = DFS pre-order).
+
+    If the occupied-cell count at ``level`` exceeds ``max_cells`` the level
+    backs off (re-aggregating the already-aggregated DF — distributed and
+    cheap) so the serial group walk never becomes the Amdahl bottleneck.
+    The reference expects ~500k tiles at planet scale and preallocates for it
+    (``osmquadtree-prepare.go:201``); the cap keeps the same order of
+    magnitude regardless of input skew."""
+    agg = (
         elements.groupBy(qt_round(F.col("qt"), F.lit(level)).alias("cell"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .toPandas()
+        .cache()
     )
+    n = agg.count()
+    while n > max_cells and level > 5:
+        level -= 3
+        nxt = (
+            agg.groupBy(qt_round(F.col("cell"), F.lit(level)).alias("cell"))
+            .agg(F.sum("cnt").alias("cnt"))
+            .cache()
+        )
+        agg.unpersist()
+        agg = nxt
+        n = agg.count()
+    pdf = agg.toPandas()
+    agg.unpersist()
     return pdf.sort_values("cell").reset_index(drop=True)
 
 
 # ------------------------------------------------------------- A4 group walk
-@dataclass
 class _Node:
-    key: int
-    count: int  # elements exactly at this cell
-    children: list  # of _Node
-    total: int = 0  # subtree total (filled by _fill_totals)
+    """Tree node — __slots__ + plain ints: the walk is driver-serial, its
+    constant factor is the pipeline's Amdahl term at scale."""
+
+    __slots__ = ("key", "count", "children", "total")
+
+    def __init__(self, key: int, count: int):
+        self.key = key
+        self.count = count
+        self.children: list[_Node] = []
+        self.total = 0
 
 
 def _common2(a: int, b: int) -> int:
@@ -77,26 +107,36 @@ def _build_tree(cells: np.ndarray, counts: np.ndarray) -> _Node:
     count) rows. Implicit internal nodes are materialized at the LCA of
     adjacent subtrees so the group walk can merge scattered small cells at
     the deepest ancestor where they amount to a group — at most 2n nodes."""
-    root = _Node(0, 0, [])
+    root = _Node(0, 0)
     stack = [root]
     for key, cnt in zip(cells.tolist(), counts.tolist()):
-        key, cnt = int(key), int(cnt)
-        while len(stack) > 1 and not _is_anc(stack[-1].key, key):
+        # inline ancestor test: pop while stack top is not an ancestor of key
+        while len(stack) > 1:
+            top = stack[-1]
+            tk = top.key
+            da = tk & 31
+            if da <= (key & 31):
+                shift = 63 - 2 * da
+                if (tk >> shift) == ((key & ~31) >> shift):
+                    break
             stack.pop()
         top = stack[-1]
         if key == top.key:
             top.count += cnt
             continue
-        if top.children:
-            last = top.children[-1]
+        tc = top.children
+        if tc:
+            last = tc[-1]
             lca = _common2(last.key, key)
             if (lca & 31) > (top.key & 31):
-                inter = _Node(lca, 0, [last])
-                top.children[-1] = inter
+                inter = _Node(lca, 0)
+                inter.children.append(last)
+                tc[-1] = inter
                 stack.append(inter)
                 top = inter
-        node = _Node(key, cnt, [])
-        top.children.append(node)
+                tc = inter.children
+        node = _Node(key, cnt)
+        tc.append(node)
         stack.append(node)
     return root
 
@@ -132,30 +172,44 @@ def find_groups(
     _fill_totals(root)
     groups: list[tuple[int, int]] = []
 
-    def walk(node: _Node) -> int:
-        subtotal = node.total
-        if subtotal <= target:
-            # whole subtree fits one group — emit at the subtree's LCA
-            # (descend single-child chains with no elements of their own)
-            if subtotal >= minimum:
+    # iterative DFS (explicit frames) — semantics identical to the recursive
+    # walk, cheap enough to stay off the Amdahl critical path:
+    #   total <= target  → one group at the subtree LCA (>= minimum) or bubble
+    #   total >  target  → recurse children, emit leftover here if >= minimum
+    root_rem = 0
+    stack: list[tuple[_Node, int, int]] = [(root, 0, 0)]  # (node, child_idx, rem)
+    ret = 0  # remainder bubbled from the last completed child
+    while stack:
+        node, ci, rem = stack.pop()
+        if ci > 0:
+            rem += ret  # collect the child's bubbled remainder
+        if ci == 0 and node.total <= target:
+            if node.total >= minimum:
                 at = node
                 while at.count == 0 and len(at.children) == 1:
                     at = at.children[0]
-                groups.append((at.key, subtotal))
-                return 0
-            return subtotal
-        rem_children = 0
-        for c in node.children:  # children are in quad order already
-            rem_children += walk(c)
-        leftover = node.count + rem_children
-        if leftover >= minimum:
+                groups.append((at.key, node.total))
+                ret = 0
+            else:
+                ret = node.total
+            continue
+        if ci < len(node.children):
+            stack.append((node, ci + 1, rem))
+            stack.append((node.children[ci], 0, 0))
+            continue
+        leftover = node.count + rem
+        if node is root:
+            root_rem = leftover
+            ret = 0
+        elif leftover >= minimum:
             groups.append((node.key, leftover))
-            return 0
-        return leftover
+            ret = 0
+        else:
+            ret = leftover
 
-    rem = walk(root)
-    if rem > 0:
-        groups.append((0, rem))  # root catches any remainder
+    root_rem += ret  # a root whose whole tree was below minimum bubbles here
+    if root_rem > 0:
+        groups.append((0, root_rem))  # root catches any remainder
     out = pd.DataFrame(groups, columns=["tile_qt", "cnt"])
     out = out.sort_values("tile_qt").reset_index(drop=True)
     out.insert(0, "tile_idx", np.arange(len(out), dtype=np.int64))
@@ -265,7 +319,13 @@ def tiling_pipeline(
     from .spans import explode_geoms
 
     elements = explode_geoms(docs)
-    counts = count_tree(elements, level)
+    # cache a SLIM projection for the count pass: Spark's columnar cache
+    # builder is pathologically slow on map<string,string> columns under
+    # high thread counts (measured 38s vs 2.6s at local[32]); the count tree
+    # only needs qt anyway, and downstream consumers are single-action
+    slim = elements.select("qt").cache()
+    counts = count_tree(slim, level)
+    slim.unpersist()
     groups = find_groups(
         counts["cell"].to_numpy(np.int64),
         counts["cnt"].to_numpy(np.int64),

@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import ArrayType, StringType
 
 from .. import quadtree as qtk
 
@@ -58,14 +58,10 @@ def _point_in_rings(px: np.ndarray, py: np.ndarray, lons: np.ndarray, lats: np.n
     return (crossings % 2).astype(bool)
 
 
-def pip_join(
-    elements: DataFrame,
-    regions: DataFrame,
-    use_bbox_prefilter: bool = True,
-) -> DataFrame:
-    """J7: (region_id, id, doc_id, span_idx) pairs for every element whose
-    bbox-center... no — whose geometry bbox intersects a bbox region, or whose
-    representative point falls inside a polygon region.
+def pip_join(elements: DataFrame, regions: DataFrame) -> DataFrame:
+    """J7: (region_id, id, doc_id, span_idx) pairs — every element whose
+    geometry bbox intersects a bbox region, or whose bbox center falls inside
+    a polygon region.
 
     Semantics pinned (and golden-tested): for ``kind='bbox'`` regions the
     element matches when its bbox intersects the region bbox (the reference's
@@ -93,50 +89,48 @@ def pip_join(
         out.append(joined)
 
     if poly_rows:
-        # closure-captured ring arrays (broadcast with the UDF), one vectorized
-        # pass per polygon over the Arrow batch
-        rings = {
-            r["region_id"]: (
-                np.asarray(r["lons"], dtype=np.float64),
-                np.asarray(r["lats"], dtype=np.float64),
-            )
-            for r in poly_rows
-        }
-        bounds = {
-            rid: (ls.min(), la.min(), ls.max(), la.max()) for rid, (ls, la) in rings.items()
-        }
-
-        def make_pip(rid: str):
-            lons, lats = rings[rid]
-
-            @pandas_udf(BooleanType())
-            def _pip(cx: pd.Series, cy: pd.Series) -> pd.Series:
-                return pd.Series(
-                    _point_in_rings(
-                        cx.to_numpy(np.int64).astype(np.float64),
-                        cy.to_numpy(np.int64).astype(np.float64),
-                        lons,
-                        lats,
-                    )
+        # ONE vectorized pass over every polygon: the UDF returns the array
+        # of matching region ids per point (posexplode fans out matches).
+        # Ring arrays are closure-captured (broadcast with the UDF); per
+        # polygon we test only points inside its bbox (numpy mask) — the
+        # single-job shape keeps scheduling latency flat in the region count.
+        rings = sorted(
+            (
+                (
+                    r["region_id"],
+                    np.asarray(r["lons"], dtype=np.float64),
+                    np.asarray(r["lats"], dtype=np.float64),
                 )
+                for r in poly_rows
+            ),
+            key=lambda t: t[0],
+        )
 
-            return _pip
+        @pandas_udf(ArrayType(StringType()))
+        def _pip_all(cx: pd.Series, cy: pd.Series) -> pd.Series:
+            px = cx.to_numpy(np.int64).astype(np.float64)
+            py = cy.to_numpy(np.int64).astype(np.float64)
+            matches: list[list[str]] = [[] for _ in range(len(px))]
+            for rid, lons, lats in rings:
+                box = (
+                    (px >= lons.min()) & (px <= lons.max())
+                    & (py >= lats.min()) & (py <= lats.max())
+                )
+                if not box.any():
+                    continue
+                idx = np.nonzero(box)[0]
+                hit = _point_in_rings(px[idx], py[idx], lons, lats)
+                for i in idx[hit]:
+                    matches[i].append(rid)
+            return pd.Series(matches)
 
         cx = ((F.col("minx") + F.col("maxx")) / 2).cast("long")
         cy = ((F.col("miny") + F.col("maxy")) / 2).cast("long")
-        base = elements.withColumn("_cx", cx).withColumn("_cy", cy)
-        for rid in sorted(rings):
-            bminx, bminy, bmaxx, bmaxy = bounds[rid]
-            cand = base
-            if use_bbox_prefilter:  # cheap JVM-side prefilter before the UDF
-                cand = base.filter(
-                    (F.col("_cx") >= int(bminx)) & (F.col("_cx") <= int(bmaxx))
-                    & (F.col("_cy") >= int(bminy)) & (F.col("_cy") <= int(bmaxy))
-                )
-            out.append(
-                cand.filter(make_pip(rid)(F.col("_cx"), F.col("_cy")))
-                .select(F.lit(rid).alias("region_id"), "id", "doc_id", "span_idx")
-            )
+        out.append(
+            elements.withColumn("_rids", _pip_all(cx, cy))
+            .filter(F.size("_rids") > 0)
+            .select(F.explode("_rids").alias("region_id"), "id", "doc_id", "span_idx")
+        )
 
     if not out:
         return elements.sparkSession.createDataFrame(

@@ -16,11 +16,7 @@ lineage ledger to prove it.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from .udfs import qt_calculate
 
@@ -29,45 +25,6 @@ from .udfs import qt_calculate
 TYPE_POINT, TYPE_LINE, TYPE_POLYGON = 0, 1, 2
 
 
-_WKT_BBOX_SCHEMA = StructType(
-    [
-        StructField("geom_type", IntegerType()),
-        StructField("minx", LongType()),
-        StructField("miny", LongType()),
-        StructField("maxx", LongType()),
-        StructField("maxy", LongType()),
-        StructField("npoints", IntegerType()),
-    ]
-)
-
-
-@pandas_udf(_WKT_BBOX_SCHEMA)
-def _wkt_bbox(wkt: pd.Series) -> pd.DataFrame:
-    """Vectorized WKT → (type, bbox, npoints). Pandas str ops only (C loops
-    inside Arrow batches, no per-row Python UDF)."""
-    s = wkt.astype("string").fillna("")
-    gtype = np.where(
-        s.str.startswith("POINT"), TYPE_POINT,
-        np.where(s.str.startswith("LINESTRING"), TYPE_LINE, TYPE_POLYGON),
-    ).astype(np.int32)
-    nums = s.str.findall(r"-?\d+")
-    minx = np.zeros(len(s), dtype=np.int64)
-    miny = np.zeros(len(s), dtype=np.int64)
-    maxx = np.zeros(len(s), dtype=np.int64)
-    maxy = np.zeros(len(s), dtype=np.int64)
-    npts = np.zeros(len(s), dtype=np.int32)
-    for i, lst in enumerate(nums):
-        if not isinstance(lst, list) or not lst:
-            continue
-        arr = np.asarray(lst, dtype=np.int64)
-        xs, ys = arr[0::2], arr[1::2]
-        minx[i], maxx[i] = xs.min(), xs.max()
-        miny[i], maxy[i] = ys.min(), ys.max()
-        npts[i] = len(xs)
-    return pd.DataFrame(
-        {"geom_type": gtype, "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy,
-         "npoints": npts}
-    )
 
 
 def explode_geoms(docs: DataFrame) -> DataFrame:
@@ -77,6 +34,11 @@ def explode_geoms(docs: DataFrame) -> DataFrame:
     pandas-UDF quadtree. All narrow (no shuffle); Catalyst prunes the scan to
     (doc_id, spans).
     """
+    # WKT bbox: JVM-side regexp + higher-order array functions (codegen) —
+    # the only Python in this pipeline is the qt_calculate numpy kernel.
+    nums = "transform(regexp_extract_all(wkt, '-?\\\\d+', 0), v -> cast(v as bigint))"
+    xs = "filter(transform(_nums, (v, i) -> IF(i % 2 = 0, v, null)), v -> v is not null)"
+    ys = "filter(transform(_nums, (v, i) -> IF(i % 2 = 1, v, null)), v -> v is not null)"
     e = (
         docs.select("doc_id", F.posexplode("spans").alias("span_idx", "span"))
         .filter(F.col("span.kind") == "geom")
@@ -94,13 +56,23 @@ def explode_geoms(docs: DataFrame) -> DataFrame:
             F.coalesce(F.col("_parts")[1], F.lit("")).alias("tagstr"),
         )
         .withColumn("tags", F.str_to_map("tagstr", F.lit(";"), F.lit("=")))
-        .withColumn("_g", _wkt_bbox(F.col("wkt")))
+        .withColumn(
+            "geom_type",
+            F.when(F.col("wkt").startswith("POINT"), TYPE_POINT)
+            .when(F.col("wkt").startswith("LINESTRING"), TYPE_LINE)
+            .otherwise(TYPE_POLYGON)
+            .cast("int"),
+        )
+        .withColumn("_nums", F.expr(nums))
+        .withColumn("_xs", F.expr(xs))
+        .withColumn("_ys", F.expr(ys))
         .select(
-            "doc_id", "span_idx", "offset", "wkt", "tags",
-            F.col("_g.geom_type").alias("geom_type"),
-            F.col("_g.minx").alias("minx"), F.col("_g.miny").alias("miny"),
-            F.col("_g.maxx").alias("maxx"), F.col("_g.maxy").alias("maxy"),
-            F.col("_g.npoints").alias("npoints"),
+            "doc_id", "span_idx", "offset", "wkt", "tags", "geom_type",
+            F.array_min("_xs").alias("minx"),
+            F.array_min("_ys").alias("miny"),
+            F.array_max("_xs").alias("maxx"),
+            F.array_max("_ys").alias("maxy"),
+            F.size("_xs").alias("npoints"),
         )
         .withColumn("qt", qt_calculate("minx", "miny", "maxx", "maxy"))
     )

@@ -44,6 +44,16 @@ GROUP_MINIMUM = 4000  # osmquadtree-prepare.go:89
 MAX_DRIVER_CELLS = 150_000  # cap on the driver-side tree (SURVEY.md §7 risk 6)
 
 
+def qt_round_expr(col_name: str, level: int):
+    """JVM-side round_to (same bit math as quadtree.round_to) — keeps the
+    count-tree aggregation in whole-stage codegen, no Python round trip."""
+    d = f"least({col_name} & 31, {int(level)})"
+    return F.expr(
+        f"(shiftleft(shiftrightunsigned({col_name} & -32, 63 - 2*{d}), 63 - 2*{d}) "
+        f"| {d})"
+    )
+
+
 def count_tree(
     elements: DataFrame,
     level: int = QT_TREE_MAX_LEVEL,
@@ -59,7 +69,7 @@ def count_tree(
     (``osmquadtree-prepare.go:201``); the cap keeps the same order of
     magnitude regardless of input skew."""
     agg = (
-        elements.groupBy(qt_round(F.col("qt"), F.lit(level)).alias("cell"))
+        elements.groupBy(qt_round_expr("qt", level).alias("cell"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .cache()
     )
@@ -67,7 +77,7 @@ def count_tree(
     while n > max_cells and level > 5:
         level -= 3
         nxt = (
-            agg.groupBy(qt_round(F.col("cell"), F.lit(level)).alias("cell"))
+            agg.groupBy(qt_round_expr("cell", level).alias("cell"))
             .agg(F.sum("cnt").alias("cnt"))
             .cache()
         )

@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_DOCS_SCALING = int(os.environ.get("BENCH_N_DOCS", "1000000"))
+N_DOCS_SCALING = int(os.environ.get("BENCH_N_DOCS", "3000000"))
 # N vs 4N within the box's PHYSICAL cores: this host reports 32 logical CPUs
 # over ~16 physical (SMT) — local[8]→local[32] would measure hyperthread
 # contention, not scaling. 4→16 keeps both levels on real cores.
@@ -102,14 +102,22 @@ def scaling_job(cpus: int) -> dict:
 
     import numpy as np
 
+    import tempfile
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")  # headroom: GC noise off the measurement
     spark = get_spark(
         app=f"oqt-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
     )
-    docs = gen_docs_dist(spark, n_docs=N_DOCS_SCALING, seed=42, partitions=cpus * 4).cache()
-    docs.count()  # materialize input outside the timed section
+    # stage the input as parquet — production shape (the input IS a table);
+    # Spark's in-memory persist measured 50-80× slower than parquet re-read
+    tmp = tempfile.mkdtemp(prefix=f"oqt_scaling_{cpus}_")
+    gen_docs_dist(spark, n_docs=N_DOCS_SCALING, seed=42, partitions=cpus * 4).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/docs")
+    docs = spark.read.parquet(f"{tmp}/docs")
     regions = gen_regions(spark)
 
-    def run_pipeline() -> tuple[dict, int]:
+    def run_pipeline(run_idx: int) -> tuple[dict, int, int]:
         stages: dict[str, float] = {}
 
         def timed(label, fn):
@@ -118,12 +126,26 @@ def scaling_job(cpus: int) -> dict:
             stages[label] = round(time.perf_counter() - s0, 3)
             return r
 
-        # slim projection: the assign+PIP path; tag/map columns excluded
-        elements = explode_geoms(docs).select(
-            "id", "doc_id", "span_idx", "qt", "minx", "miny", "maxx", "maxy", "geom_type"
-        ).cache()
-        n_elements = timed("explode", elements.count)
-        counts = timed("count_tree", lambda: count_tree(elements))
+        # phase 1 (the real prepare shape, §3.1): parse spans + compute qt,
+        # materialize the slim elements table ONCE — downstream consumers
+        # read the columnar file instead of re-running the parse chain
+        # (Spark's in-memory persist measured 50-80× slower than this)
+        el_path = f"{tmp}/elements_{run_idx}"
+        timed(
+            "parse_qt",
+            lambda: explode_geoms(docs)
+            .select(
+                "id", "doc_id", "span_idx", "qt",
+                "minx", "miny", "maxx", "maxy", "geom_type",
+            )
+            .write.mode("overwrite")
+            .parquet(el_path),
+        )
+        elements = spark.read.parquet(el_path)
+        n_elements = elements.count()
+        counts = timed(
+            "count_tree", lambda: count_tree(elements, n_rows_hint=n_elements)
+        )
         groups = timed(
             "find_groups",
             lambda: find_groups(
@@ -131,19 +153,26 @@ def scaling_job(cpus: int) -> dict:
                 target=8000, minimum=4000,
             ),
         )
+        # phase 4: shuffle to tiles and write the tiled table (the S8 sink)
         assigned = assign_tiles(elements, groups)
-        n_assigned = timed("assign", assigned.count)
+        timed(
+            "assign_write_tiled",
+            lambda: assigned.repartition(F.col("tile_idx"))
+            .sortWithinPartitions("tile_idx", "id")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/tiled_{run_idx}"),
+        )
+        n_assigned = n_elements
         pip = pip_join(elements, regions)
         n_pip = timed("pip", pip.count)
-        elements.unpersist()
         return stages, n_assigned + n_pip, n_elements
 
     # warm-up pass: python worker spawn, codegen JIT, shuffle file creation —
     # identical one-time costs at both levels that would otherwise mask
     # steady-state throughput (what a long-running cluster job actually sees)
-    run_pipeline()
+    run_pipeline(0)
     t0 = time.perf_counter()
-    stages, rows, n_elements = run_pipeline()
+    stages, rows, n_elements = run_pipeline(1)
     wall = time.perf_counter() - t0
 
     spark.stop()

@@ -75,18 +75,36 @@ def pip_join(elements: DataFrame, regions: DataFrame) -> DataFrame:
 
     out = []
     if bbox_rows:
-        bdf = elements.sparkSession.createDataFrame(
-            [(r["region_id"], r["minx"], r["miny"], r["maxx"], r["maxy"]) for r in bbox_rows],
-            "region_id string, rminx long, rminy long, rmaxx long, rmaxy long",
+        # literal region array + higher-order filter beats a broadcast
+        # nested-loop join: same one-pass-per-row semantics, but it stays in
+        # whole-stage codegen with no join machinery. (For thousands of
+        # regions, switch back to a broadcast join on a tile-prefix key.)
+        regions_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(r["region_id"]).alias("rid"),
+                    F.lit(r["minx"]).alias("rminx"),
+                    F.lit(r["miny"]).alias("rminy"),
+                    F.lit(r["maxx"]).alias("rmaxx"),
+                    F.lit(r["maxy"]).alias("rmaxy"),
+                )
+                for r in sorted(bbox_rows, key=lambda r: r["region_id"])
+            ]
         )
-        joined = elements.join(
-            F.broadcast(bdf),
-            (F.col("minx") <= F.col("rmaxx"))
-            & (F.col("maxx") >= F.col("rminx"))
-            & (F.col("miny") <= F.col("rmaxy"))
-            & (F.col("maxy") >= F.col("rminy")),
-        ).select("region_id", "id", "doc_id", "span_idx")
-        out.append(joined)
+        matches = F.filter(
+            regions_arr,
+            lambda r: (F.col("minx") <= r["rmaxx"])
+            & (F.col("maxx") >= r["rminx"])
+            & (F.col("miny") <= r["rmaxy"])
+            & (F.col("maxy") >= r["rminy"]),
+        )
+        out.append(
+            elements.withColumn("_m", matches)
+            .filter(F.size("_m") > 0)
+            .select(
+                F.explode(F.col("_m.rid")).alias("region_id"), "id", "doc_id", "span_idx"
+            )
+        )
 
     if poly_rows:
         # ONE vectorized pass over every polygon: the UDF returns the array

@@ -33,6 +33,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 from . import quadtree as qtk
+from .quadtree import round_to
 from .udfs import qt_round
 
 QT_TREE_MAX_LEVEL = 17  # osmquadtree-prepare.go:87
@@ -58,35 +59,50 @@ def count_tree(
     elements: DataFrame,
     level: int = QT_TREE_MAX_LEVEL,
     max_cells: int = MAX_DRIVER_CELLS,
+    n_rows_hint: int | None = None,
 ) -> pd.DataFrame:
     """Per-cell element counts at ``min(depth, level)`` (A3). Distributed agg,
     small driver-side result (sorted by key = DFS pre-order).
 
-    If the occupied-cell count at ``level`` exceeds ``max_cells`` the level
-    backs off (re-aggregating the already-aggregated DF — distributed and
-    cheap) so the serial group walk never becomes the Amdahl bottleneck.
-    The reference expects ~500k tiles at planet scale and preallocates for it
-    (``osmquadtree-prepare.go:201``); the cap keeps the same order of
-    magnitude regardless of input skew."""
-    agg = (
-        elements.groupBy(qt_round_expr("qt", level).alias("cell"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .cache()
+    If the occupied-cell count at ``level`` exceeds ``max_cells`` the result
+    is rounded to a coarser level so the serial group walk never becomes the
+    Amdahl bottleneck. The rounding happens DRIVER-SIDE in numpy on the
+    already-aggregated counts (one distributed shuffle, one collect, zero
+    caching — Spark's persist path measured 50-80× slower than the recompute
+    at high thread counts). ``collect_guard``: if the aggregated cell count
+    may exceed what the driver should hold (~20M rows), a distributed
+    pre-shrink runs first. The reference expects ~500k tiles at planet scale
+    (``osmquadtree-prepare.go:201``)."""
+    import math
+
+    import math
+
+    # ONE distributed pass: aggregate at the requested level and collect —
+    # the coarsening to max_cells happens driver-side in numpy (micro-
+    # seconds). When the caller knows the row count (``n_rows_hint``) the
+    # level is capped so the worst-case collect stays ~max_cells even for
+    # uniformly-scattered data; at true planet scale pass ``level`` lower
+    # explicitly.
+    if n_rows_hint and n_rows_hint > max_cells:
+        cap = max(5, math.ceil(math.log(4 * max_cells, 4)))
+        level = min(level, cap)
+    agg = elements.groupBy(qt_round_expr("qt", level).alias("cell")).agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    n = agg.count()
-    while n > max_cells and level > 5:
-        level -= 3
-        nxt = (
-            agg.groupBy(qt_round_expr("cell", level).alias("cell"))
-            .agg(F.sum("cnt").alias("cnt"))
-            .cache()
-        )
-        agg.unpersist()
-        agg = nxt
-        n = agg.count()
     pdf = agg.toPandas()
-    agg.unpersist()
-    return pdf.sort_values("cell").reset_index(drop=True)
+    cells = pdf["cell"].to_numpy(np.int64)
+    cnts = pdf["cnt"].to_numpy(np.int64)
+    # clustering can beat the 4×/level shrink estimate — finish driver-side
+    while len(cells) > max_cells and level > 5:
+        level = max(5, level - max(2, math.ceil(math.log(len(cells) / max_cells, 4))))
+        rounded = round_to(cells, level)
+        g = pd.DataFrame({"cell": rounded, "cnt": cnts}).groupby("cell", sort=True)[
+            "cnt"
+        ].sum()
+        cells = g.index.to_numpy(np.int64)
+        cnts = g.to_numpy(np.int64)
+    out = pd.DataFrame({"cell": cells, "cnt": cnts})
+    return out.sort_values("cell").reset_index(drop=True)
 
 
 # ------------------------------------------------------------- A4 group walk
@@ -328,14 +344,12 @@ def tiling_pipeline(
     → assigned elements. Returns (elements_df, counts_pdf, groups_pdf)."""
     from .spans import explode_geoms
 
+    # NO caching: the elements lineage is all-JVM + one numpy UDF and
+    # recomputes in ~1s/10M rows; Spark's persist path measured 50-80× slower
+    # than recompute at high thread counts (local-mode memory-manager
+    # contention), so each consumer just re-evaluates the chain
     elements = explode_geoms(docs)
-    # cache a SLIM projection for the count pass: Spark's columnar cache
-    # builder is pathologically slow on map<string,string> columns under
-    # high thread counts (measured 38s vs 2.6s at local[32]); the count tree
-    # only needs qt anyway, and downstream consumers are single-action
-    slim = elements.select("qt").cache()
-    counts = count_tree(slim, level)
-    slim.unpersist()
+    counts = count_tree(elements, level)
     groups = find_groups(
         counts["cell"].to_numpy(np.int64),
         counts["cnt"].to_numpy(np.int64),

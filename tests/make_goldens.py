@@ -26,6 +26,20 @@ def main():
         f.write("\n".join(group_lines(g)) + "\n")
     print(f"wrote goldens: {len(cells)} tree nodes, {len(g)} groups")
 
+    if len(sys.argv) > 1 and sys.argv[1] == "corpus":
+        import json
+
+        from osmquadtree_bin_spark.datagen import gen_docs
+        from osmquadtree_bin_spark.session import get_spark
+        from tests.test_corpus_golden import corpus_checksums
+
+        spark = get_spark(app="make-goldens", master="local[4]", shuffle_partitions=4)
+        docs = gen_docs(spark, n_docs=300, seed=42)
+        sums = corpus_checksums(spark, docs)
+        with open(os.path.join(GOLDEN, "corpus.json"), "w") as f:
+            json.dump(sums, f, indent=1, sort_keys=True)
+        print(f"wrote corpus goldens: {len(sums)} layers")
+
 
 if __name__ == "__main__":
     main()

@@ -36,6 +36,12 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # ParallelGC: G1 measurably anti-scales allocation-heavy codegen
+        # stages in local mode (15s@16 threads vs 6s with ParallelGC on the
+        # same stage) — throughput GC fits a batch engine
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.io.tmpdir=/tmp -XX:+UseParallelGC",
+        )
     )
     return builder.getOrCreate()

@@ -90,6 +90,22 @@ def test_catch_up_applies_in_order(spark, store):
     assert st.read().filter(F.col("wkt").startswith("MOD:")).count() == 0
 
 
+def test_cold_restart_resume(spark, store, tmp_path):
+    """§5.6 resumability: a NEW TiledStore instance (simulating a restarted
+    process) picks up from the ledger and skips already-applied states."""
+    st, assigned, _ = store
+    d1 = _mk_diff(spark, assigned, "modify", version=1, n=3)
+    st.apply_diff(d1, state=1)
+    n_after_1 = st.read().count()
+
+    st2 = TiledStore(spark, st.root)  # fresh instance, same storage
+    assert st2.resume_state() == 1
+    d2 = _mk_diff(spark, assigned, "delete", version=2, n=1)
+    applied = st2.catch_up({1: d1, 2: d2})
+    assert applied == [2]  # state 1 skipped, state 2 applied
+    assert st2.read().count() == n_after_1 - 1
+
+
 def test_round_to_day(spark):
     df = spark.createDataFrame(
         [("2024-03-05 01:30:00",), ("2024-03-05 13:00:00",), ("2024-03-05 00:00:00",)],

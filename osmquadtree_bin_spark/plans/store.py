@@ -66,3 +66,48 @@ class TileQueryEngine:
 
         self.tables_for_bbox(*bbox)
         return self.spark.sql(translate(query))
+
+    def rawtile(self, tx: int, ty: int, tz: int) -> DataFrame:
+        """J8 raw-tile fetch (``tq.rawtile``, ``osmquadtree-geometry.go:283-314``):
+        every stored element whose qt is a descendant-or-equal of the raster
+        cell — tile partitions pruned first, then the rounded-key equi-filter."""
+        import numpy as np
+
+        from .. import quadtree as qtk
+        from ..tiling import qt_round_expr
+
+        req = int(qtk.from_tuple(np.array([tx]), np.array([ty]), np.array([tz]))[0])
+        minx, miny, maxx, maxy = (int(v[0]) for v in qtk.bounds(np.array([req]), 0.05))
+        tiles = self.pruned_tiles(minx, miny, maxx, maxy)
+        return (
+            self.spark.read.parquet(self.store_path)
+            .filter(F.col("tile_idx").isin(tiles))
+            .filter((F.col("qt").bitwiseAND(F.lit(31))) >= tz)
+            .filter(qt_round_expr("qt", tz) == req)
+        )
+
+    def extract(
+        self,
+        regions: DataFrame,
+        sort_by_id: bool = True,
+    ) -> DataFrame:
+        """The osmquadtree-filter extract (§3, ``osmquadtree-filter.go:122-225``):
+        PIP-match elements against regions, two-pass id-set trim (P4), global
+        (type,id) sort (O2)."""
+        from ..operators.pip_join import idset_trim, pip_join
+
+        # prune tiles PER REGION (a union bbox over scattered regions would
+        # cover the world and defeat pruning — and trip the size guard)
+        tiles: set[int] = set()
+        for r in regions.collect():
+            if r["minx"] is not None:
+                bb = (r["minx"], r["miny"], r["maxx"], r["maxy"])
+            else:
+                bb = (min(r["lons"]), min(r["lats"]), max(r["lons"]), max(r["lats"]))
+            tiles.update(self.pruned_tiles(*(int(v) for v in bb)))
+        elements = self.spark.read.parquet(self.store_path).filter(
+            F.col("tile_idx").isin(sorted(tiles))
+        )
+        matched = pip_join(elements, regions)
+        trimmed = idset_trim(elements, matched)
+        return trimmed.orderBy("id") if sort_by_id else trimmed

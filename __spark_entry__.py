@@ -235,7 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q11_zorder_prio"] = q11_zorder_prio
 
-    def q12_day_rounding(spark, sf):  # T2: round-to-day with 7200s grace
+    def q12_day_rounding(spark, sf):  # T2: ceil-to-day (ref grace branch is dead)
         from osmquadtree_bin_spark.streaming.update import round_to_day
 
         e = _t(spark, sf, "events")
@@ -435,7 +435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q28_minhash_pairs(spark, sf):
         from osmquadtree_bin_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
 
-        d = _t(spark, sf, "documents").limit(500)
+        # key-range filter, not limit(): deterministic under any partitioning
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
         sigs = minhash_signatures(d, num_perm=32)
         return minhash_lsh_pairs(sigs, bands=8, rows_per_band=4, jaccard_threshold=0.5)
 
@@ -444,7 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q29_simhash_pairs(spark, sf):
         from osmquadtree_bin_spark.operators.dedup import simhash, simhash_near_pairs
 
-        d = _t(spark, sf, "documents").limit(500)
+        d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
         return simhash_near_pairs(simhash(d), max_hamming=8)
 
     q["q29_simhash_pairs"] = q29_simhash_pairs
@@ -472,8 +473,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
-                   sum(cast(l_quantity as bigint)) AS sum_qty,
-                   sum({cents}) AS sum_base_cents,
+                   cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
+                   cast(sum({cents}) as bigint) AS sum_base_cents,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= timestamp '2002-09-01'
@@ -481,7 +482,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q02_join_revenue": """
             SELECT n_name,
-                   sum(cast(round(o_totalprice * 100) as bigint)) AS revenue_cents,
+                   cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint) AS revenue_cents,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
@@ -556,7 +557,7 @@ def oracle_sql() -> dict[str, str]:
             FROM part GROUP BY 1
         """,
         "q12_day_rounding": """
-            SELECT CASE WHEN epoch(ts) - epoch(date_trunc('day', ts)) <= 7200
+            SELECT CASE WHEN epoch(ts) - epoch(date_trunc('day', ts)) = 0
                         THEN date_trunc('day', ts)
                         ELSE date_trunc('day', ts) + INTERVAL 1 DAY END AS day,
                    count(*) AS n
@@ -598,7 +599,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q18_raster_vector": f"""
             SELECT n_nationkey,
-                   sum(CASE WHEN tile IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+                   cast(sum(CASE WHEN tile IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_hits
             FROM (SELECT n_nationkey,
                          cast((n_nationkey * 2654435761) % 65536 as bigint) AS req_tile
                   FROM nation) reqs
@@ -638,9 +639,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q23_lang_counts": r"""
             SELECT lang, count(*) AS n_docs,
-                   sum(cast(CASE WHEN length(trim(text)) = 0 THEN 0
+                   cast(sum(cast(CASE WHEN length(trim(text)) = 0 THEN 0
                                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
-                            END as bigint)) AS total_tokens
+                            END as bigint)) as bigint) AS total_tokens
             FROM documents GROUP BY lang
         """,
         "q24_doc_emb_join": """

@@ -12,13 +12,14 @@ components per the build brief:
                       distance ≤ k via band partitioning.
   * n-gram Jaccard  — exact verification kernel (numpy set ops).
 
-All hashing uses numpy/Python's stable md5/blake2 so results are
-deterministic across runs and executors (never rely on PYTHONHASHSEED).
+All hashing is deterministic across runs and executors (never relies on
+PYTHONHASHSEED): word hashing uses pandas' C-level SipHash
+(``pd.util.hash_array`` with its fixed default key — one vectorized call per
+Arrow batch, no per-token Python), and n-gram combination is a vectorized
+numpy polynomial roll over the word-hash array.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -39,19 +40,33 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 # ------------------------------------------------------------------- minhash
 _MERSENNE = (1 << 61) - 1
+_POLY_C = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
+
+
+def _hash_words(words: list[str]) -> np.ndarray:
+    """Stable vectorized 64-bit word hashes: one C-level SipHash pass."""
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(words, dtype=object), categorize=False)
+
+
+def _roll_ngrams(wh: np.ndarray, n: int) -> np.ndarray:
+    """64-bit hashes of word n-grams from per-word hashes — a vectorized
+    polynomial roll (n numpy ops total, wraparound mod 2^64)."""
+    if wh.size == 0:
+        return wh
+    m = max(wh.size - n + 1, 1)
+    width = min(n, wh.size)
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(width):
+        acc = acc * _POLY_C + wh[j : j + m]
+    return acc
 
 
 def _hash_shingles(text: str, n: int) -> np.ndarray:
-    """Stable 64-bit hashes of word n-grams (blake2b — deterministic)."""
-    words = text.split()
-    if len(words) < n:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
-    return out
+    """Stable 64-bit hashes of word n-grams (vectorized; short texts hash
+    the whole word sequence as one gram)."""
+    return _roll_ngrams(_hash_words(text.split()), n)
 
 
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -133,45 +148,85 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------------------- simhash
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash:long) — 64-bit simhash over stable word hashes."""
+    """(id, simhash:long) — 64-bit simhash over stable word hashes.
+
+    Fully batch-vectorized: all words of the Arrow batch are hashed in ONE
+    SipHash call, bit tallies are segment-summed with np.add.reduceat."""
 
     @pandas_udf(LongType())
     def _sim(texts: pd.Series) -> pd.Series:
+        token_lists = [t.split() for t in texts.fillna("")]
+        lens = np.array([len(ws) for ws in token_lists], dtype=np.int64)
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts.fillna("")):
-            words = t.split()
-            if not words:
-                continue
-            hs = np.empty(len(words), dtype=np.uint64)
-            for j, w in enumerate(words):
-                hs[j] = int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
-                )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int32
-            )
-            score = (2 * bits - 1).sum(axis=0)
-            val = ((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
-                dtype=np.uint64
-            )
-            out[i] = np.array([val], dtype=np.uint64).view(np.int64)[0]
+        bitpos = np.arange(64, dtype=np.uint64)
+        # chunk on doc boundaries so the [words, 64] tally stays < ~64 MB
+        chunk_words, lo = 1 << 18, 0
+        while lo < len(texts):
+            hi, acc = lo, 0
+            while hi < len(texts) and (acc == 0 or acc + lens[hi] <= chunk_words):
+                acc += lens[hi]
+                hi += 1
+            cl = lens[lo:hi]
+            words = [w for ws in token_lists[lo:hi] for w in ws]
+            if words:
+                h = _hash_words(words)  # [W] uint64
+                signed = (
+                    ((h[:, None] >> bitpos[None, :]) & 1).astype(np.int32) * 2 - 1
+                )  # [W, 64] in {-1, +1}
+                nz = cl > 0
+                starts = np.concatenate([[0], np.cumsum(cl)[:-1]])[nz]
+                score = np.add.reduceat(signed, starts, axis=0)  # [n_nonempty, 64]
+                vals = (
+                    (score > 0).astype(np.uint64) << bitpos[None, :]
+                ).sum(axis=1, dtype=np.uint64)
+                out[lo:hi][nz] = vals.view(np.int64)
+            lo = hi
         return pd.Series(out)
 
     return docs.select(F.col(id_col).alias("id"), _sim(F.col(text_col)).alias("simhash"))
 
 
+def _masks_within(width: int, radius: int) -> list[int]:
+    """All XOR masks of `width` bits with popcount <= radius."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(width)]
+    if radius >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(width) for j in range(i)]
+    if radius >= 3:
+        raise ValueError("radius > 2 unsupported (mask expansion would explode)")
+    return masks
+
+
 def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming. Band trick: any
-    pair within hamming k must agree exactly on at least one of k+1 bands —
-    equi-join per band, union, exact popcount verify (JVM-side bit_count)."""
-    nbands = max(bands, max_hamming + 1)
-    width = 64 // nbands
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Scale-safe banding: the 64-bit hash is split into `bands` pieces that are
+    each >= 16 bits wide (so bucket keys keep >= 2^16 cardinality — a narrow
+    piece would make every band join near-cartesian). By pigeonhole, a pair
+    within hamming k agrees on some piece up to radius r = floor(k / bands)
+    flipped bits; the LEFT side expands each piece key by all XOR masks of
+    popcount <= r (JVM-side explode over a literal mask array), the right
+    side keeps the exact key, and the band equi-join + exact bit_count verify
+    recovers every qualifying pair. r=0 (k < bands) degenerates to the plain
+    exact-band trick; r<=2 covers k <= 3*bands-1 = 11 at the default 4 bands.
+    """
+    if bands < 1 or 64 // bands < 16:
+        raise ValueError("bands must keep pieces >= 16 bits (bands <= 4)")
+    width = 64 // bands
+    radius = max_hamming // bands
+    masks = _masks_within(width, radius)
+    mask_arr = F.array(*[F.lit(m) for m in masks])
     out = None
-    for i in range(nbands):
+    for i in range(bands):
         band = F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
             F.lit((1 << width) - 1)
         )
-        l = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), band.alias("b"))
+        l = sh.select(
+            F.col("id").alias("id_a"),
+            F.col("simhash").alias("h_a"),
+            F.explode(F.transform(mask_arr, lambda m: band.bitwiseXOR(m))).alias("b"),
+        )
         r = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), band.alias("b"))
         j = l.join(r, "b").filter(F.col("id_a") < F.col("id_b")).drop("b")
         out = j if out is None else out.unionByName(j)

@@ -37,13 +37,19 @@ LEDGER_SCHEMA = (
 
 
 def round_to_day(ts_col, grace_seconds: int = 7200):
-    """T2 (``osmquadtree-update.go:354-360``): round a timestamp up to the next
-    day boundary unless it is within ``grace_seconds`` past one (round down)."""
+    """T2 (``osmquadtree-update.go:354-360``): round a timestamp to a day
+    boundary. The reference source *appears* to round down within a 7200 s
+    grace window, but its ``< 7200`` branch lacks an else and is immediately
+    overridden by the unconditional ``(ts/day + 1) * day`` — so the observable
+    behavior of the reference binary is: exactly-on-boundary timestamps pass
+    through, everything else rounds UP to the next boundary. We match the
+    binary, not the apparent intent; ``grace_seconds`` is kept in the
+    signature for API compatibility but, like the reference's, has no effect.
+    """
+    del grace_seconds  # dead in the reference too — see docstring
     day = F.date_trunc("day", ts_col)
     secs_past = F.unix_timestamp(ts_col) - F.unix_timestamp(day)
-    return F.when(secs_past <= grace_seconds, day).otherwise(
-        F.date_add(day, 1).cast("timestamp")
-    )
+    return F.when(secs_past == 0, day).otherwise(F.date_add(day, 1).cast("timestamp"))
 
 
 class TiledStore:
@@ -90,7 +96,23 @@ class TiledStore:
         if self.resume_state() >= state:
             return []
 
-        touched = [r["tile_idx"] for r in diff.select("tile_idx").distinct().collect()]
+        # Touched = tiles the diff assigns rows to, PLUS the tiles the same
+        # ids currently live in (the reference resolves old tiles via its
+        # locations cache, CalcUpdateTiles): a moved element must vanish from
+        # its previous partition and a delete must clear the row where it
+        # actually is, not where the assigner would now place it. Parquet
+        # column pruning makes the old-tile lookup an (id, tile_idx)-only scan.
+        new_tiles = diff.select("tile_idx").distinct()
+        old_tiles = (
+            self.read()
+            .join(diff.select("id").distinct(), "id", "left_semi")
+            .select("tile_idx")
+            .distinct()
+        )
+        touched = [
+            r["tile_idx"]
+            for r in new_tiles.unionByName(old_tiles).distinct().collect()
+        ]
         if not touched:
             self._append_ledger([], state, {}, {})
             return []
@@ -118,6 +140,12 @@ class TiledStore:
             .drop("_rn", "_v", "_ct")
         )
 
+        # materialize BEFORE the overwrite: newest reads the very partitions
+        # the write below replaces, so a lazy re-evaluation would see them
+        newest = newest.persist()
+        out_tiles = {
+            r["tile_idx"] for r in newest.select("tile_idx").distinct().collect()
+        }
         # dynamic partition overwrite: only the touched tiles are rewritten
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
@@ -127,6 +155,12 @@ class TiledStore:
             .partitionBy("tile_idx")
             .parquet(self.data_path)
         )
+        newest.unpersist()
+        # Dynamic overwrite only replaces partitions PRESENT in the output: a
+        # touched tile whose rows were all deleted emits nothing and its stale
+        # partition would survive. Clear those explicitly. (On Iceberg this is
+        # a single overwrite-by-partition-filter / MERGE and needs no FS ops.)
+        self._drop_partitions([t for t in touched if t not in out_tiles])
         rows_out = {
             r["tile_idx"]: r["n"]
             for r in self.read()
@@ -137,6 +171,15 @@ class TiledStore:
         }
         self._append_ledger(touched, state, rows_in, rows_out)
         return sorted(touched)
+
+    def _drop_partitions(self, tiles: list[int]) -> None:
+        """Remove now-empty tile partitions from the hive layout."""
+        import shutil
+
+        for t in tiles:
+            p = os.path.join(self.data_path, f"tile_idx={t}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
 
     def _append_ledger(self, touched: list[int], state: int, rows_in: dict, rows_out: dict):
         now = int(time.time())

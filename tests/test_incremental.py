@@ -112,5 +112,43 @@ def test_round_to_day(spark):
         "ts string",
     ).withColumn("ts", F.to_timestamp("ts"))
     got = [str(r["r"]) for r in df.select(round_to_day(F.col("ts")).alias("r")).collect()]
-    # 01:30 is within the 7200s grace → round down; 13:00 → round up; exact → stay
-    assert got == ["2024-03-05 00:00:00", "2024-03-06 00:00:00", "2024-03-05 00:00:00"]
+    # matches the reference BINARY (osmquadtree-update.go:354-360): the <7200s
+    # grace branch there is dead code — every off-boundary ts rounds UP
+    assert got == ["2024-03-06 00:00:00", "2024-03-06 00:00:00", "2024-03-05 00:00:00"]
+
+
+def test_moved_element_leaves_old_tile(spark, store):
+    """An element whose tile assignment changed must vanish from its previous
+    partition (reference: CalcUpdateTiles resolves old tiles via locations)."""
+    st, assigned, _ = store
+    row = assigned.orderBy("id").limit(1).collect()[0]
+    all_tiles = sorted(r["tile_idx"] for r in assigned.select("tile_idx").distinct().collect())
+    new_tile = next(t for t in all_tiles if t != row["tile_idx"])
+    diff = (
+        assigned.orderBy("id").limit(1)
+        .withColumn("tile_idx", F.lit(new_tile))
+        .withColumn("changetype", F.lit("modify"))
+        .withColumn("version", F.lit(1))
+    )
+    touched = st.apply_diff(diff, state=1)
+    assert row["tile_idx"] in touched and new_tile in touched
+    got = st.read().filter(F.col("id") == row["id"]).collect()
+    assert len(got) == 1  # no stale duplicate in the old partition
+    assert got[0]["tile_idx"] == new_tile
+
+
+def test_emptied_tile_partition_is_cleared(spark, store):
+    """Deleting every row of a tile must remove its partition from disk, not
+    leave a stale one that dynamic overwrite never rewrites."""
+    st, assigned, _ = store
+    counts = st.read().groupBy("tile_idx").agg(F.count("*").alias("n")).collect()
+    victim = min(counts, key=lambda r: r["n"])["tile_idx"]
+    diff = (
+        assigned.filter(F.col("tile_idx") == victim)
+        .withColumn("changetype", F.lit("delete"))
+        .withColumn("version", F.lit(1))
+    )
+    st.apply_diff(diff, state=1)
+    assert st.read().filter(F.col("tile_idx") == victim).count() == 0
+    import os
+    assert not os.path.isdir(os.path.join(st.data_path, f"tile_idx={victim}"))

@@ -172,3 +172,29 @@ def test_multimodal_decode_stub_raises(spark, docs):
     media = synth_media(spark, docs).limit(2)
     feats = extract_features(media, fake_decode=False).toPandas()
     assert (feats["decode_ok"] == 0).all()
+
+
+def test_simhash_radius_banding_recovers_spread_flips(spark):
+    """A pair differing by k=8 bits spread 2-per-16-bit-piece (so NO piece
+    matches exactly) must still be found via the mask-expansion bands."""
+    base = 0x0123456789ABCDEF
+    flips = 0
+    for piece in range(4):
+        flips |= (0b101 << (piece * 16 + 3))  # 2 bits flipped per piece
+    other = base ^ flips
+    assert bin(flips).count("1") == 8
+    sh = spark.createDataFrame([(1, base), (2, other)], "id long, simhash long")
+    pairs = simhash_near_pairs(sh, max_hamming=8).toPandas()
+    assert len(pairs) == 1
+    assert int(pairs.hamming.iloc[0]) == 8
+    # and NOT found when the verify threshold is below the true distance
+    assert simhash_near_pairs(sh, max_hamming=7).count() == 0
+
+
+def test_simhash_bands_keep_wide_pieces():
+    """Bucket keys must stay >= 16 bits wide — narrow pieces collapse the
+    band self-join into a near-cartesian product at scale."""
+    with pytest.raises(ValueError):
+        simhash_near_pairs(None, max_hamming=3, bands=8)  # 8-bit pieces
+    with pytest.raises(ValueError):
+        simhash_near_pairs(None, max_hamming=12, bands=4)  # radius 3 masks

@@ -17,28 +17,75 @@ from pyspark.sql.types import DoubleType
 
 from ..quadtree import COORD_SCALE, lat_to_unit, lon_to_unit
 
-# highway class → z_order (reference priority semantics: motorway highest)
+# EXACT mirror of the reference's highway_prios map
+# (osmquadtree-geometry-features.go:722-770): keys are "<tagkey>_<value>".
 Z_ORDER_TABLE = {
-    "motorway": 380, "trunk": 370, "primary": 360, "secondary": 350,
-    "tertiary": 340, "residential": 330, "unclassified": 330, "road": 330,
-    "living_street": 320, "pedestrian": 310, "service": 150,
-    "footway": 100, "track": 100, "path": 100, "cycleway": 100, "steps": 100,
-    "motorway_link": 240, "trunk_link": 230, "primary_link": 220,
-    "secondary_link": 210, "tertiary_link": 200,
+    "railway_rail": 440,
+    "railway_INT-preserved-ssy": 430,
+    "railway_INT-spur-siding-yard": 430,
+    "railway_subway": 420,
+    "railway_narrow_gauge": 420,
+    "railway_light_rail": 420,
+    "railway_preserved": 420,
+    "railway_funicular": 420,
+    "railway_monorail": 420,
+    "railway_miniature": 420,
+    "railway_turntable": 420,
+    "railway_tram": 410,
+    "railway_tram-service": 405,
+    "railway_disused": 400,
+    "railway_construction": 400,
+    "highway_motorway": 380,
+    "highway_trunk": 370,
+    "highway_primary": 360,
+    "highway_secondary": 350,
+    "highway_tertiary": 340,
+    "highway_residential": 330,
+    "highway_unclassified": 330,
+    "highway_road": 330,
+    "highway_living_street": 320,
+    "highway_pedestrian": 310,
+    "highway_raceway": 300,
+    "highway_motorway_link": 240,
+    "highway_trunk_link": 230,
+    "highway_primary_link": 220,
+    "highway_secondary_link": 210,
+    "highway_tertiary_link": 200,
+    "highway_service": 150,
+    "highway_track": 110,
+    "highway_path": 100,
+    "highway_footway": 100,
+    "highway_bridleway": 100,
+    "highway_cycleway": 100,
+    "highway_steps": 100,
+    "highway_platform": 90,
+    "railway_platform": 90,
+    "aeroway_runway": 60,
+    "aeroway_taxiway": 50,
+    "highway_construction": 10,
+    "highway_bus_guideway": 10,
+    "aerialway_cable_car": 10,
+    "aerialway_goods": 10,
+    "aerialway_chair_lift": 10,
 }
-RAILWAY_Z = 440
 LAYER_STEP = 1000  # a layer=n tag shifts z_order by n*1000 (carto convention)
 
 
 def z_order(tags: str = "tags") -> Column:
-    hw = F.element_at(F.col(tags), "highway")
-    rw = F.element_at(F.col(tags), "railway")
+    """Priority of the first matching (tagkey, value) row — one JVM map
+    lookup per tag key, no per-value CASE ladder."""
+    prio_map = F.create_map(
+        *[F.lit(x) for kv in Z_ORDER_TABLE.items() for x in kv]
+    )
+    lookups = [
+        F.element_at(
+            prio_map,
+            F.concat(F.lit(f"{key}_"), F.element_at(F.col(tags), key)),
+        )
+        for key in ("highway", "railway", "aeroway", "aerialway")
+    ]
+    base = F.coalesce(*lookups, F.lit(0))
     layer = F.element_at(F.col(tags), "layer")
-    base = None
-    for k, v in sorted(Z_ORDER_TABLE.items()):
-        cond = hw == k
-        base = F.when(cond, v) if base is None else base.when(cond, v)
-    base = base.when(rw.isNotNull(), RAILWAY_Z).otherwise(0)
     layer_n = F.when(layer.rlike(r"^-?[0-9]+$"), layer.cast("long")).otherwise(0)
     return (base + layer_n * LAYER_STEP).cast("long")
 

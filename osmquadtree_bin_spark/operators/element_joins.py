@@ -21,7 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..udfs import qt_calculate, qt_lca_agg, qt_point
+from ..functions.qtsql import with_qt_sql
+from ..udfs import qt_lca_agg, qt_point
 
 
 def node_qts(nodes: DataFrame) -> DataFrame:
@@ -41,7 +42,7 @@ def way_qts(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         F.max("lon").alias("maxx"),
         F.max("lat").alias("maxy"),
     )
-    return bbox.select("id", qt_calculate("minx", "miny", "maxx", "maxy").alias("qt"))
+    return with_qt_sql(bbox).select("id", "qt")
 
 
 def node_qts_with_way_backprop(nodes: DataFrame, ways: DataFrame, wqts: DataFrame) -> DataFrame:

@@ -18,7 +18,10 @@ golden comparison).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 from .. import quadtree as qtk
 
@@ -57,28 +60,50 @@ def knn_tiled(
     """Scale path: prune candidates by tile neighbourhood before the exact
     window. ``groups`` is the tiling groups pdf (tile_idx, tile_qt, cnt).
 
-    For each query point we take every tile whose buffered bounds intersect a
-    window around the query sized by the ``ring_levels``-th ancestor of the
-    query's level-17 cell — driver-side, tiny. The candidate join is then
-    ``tile_idx IN (...)`` per query, unioned; with few queries this is
-    partition pruning, with many it becomes a broadcast equi-join on tile_idx.
+    Fully distributed in the query count: candidate tiles per query are
+    computed INSIDE a vectorized pandas UDF (no driver collect, no per-query
+    Python loop on the driver) — the tile bounds table (<= ~500k rows at
+    planet scale) is closure-broadcast, sorted by minx so each query narrows
+    to an x-strip with two searchsorteds before the exact y/x filter. The
+    query window is the buffered bbox of the ``ring_levels``-th ancestor of
+    the query's level-17 cell; the candidate join is a plain equi-join on
+    tile_idx (partition-prunable; AQE broadcasts whichever side is small).
     """
     tile_keys = groups["tile_qt"].to_numpy(np.int64)
     tile_idx = groups["tile_idx"].to_numpy(np.int64)
-    qrows = queries.collect()
-    pairs = []  # (query_id, tile_idx)
-    for r in qrows:
-        qkey = qtk.point_quadtree(np.array([r["qx"]]), np.array([r["qy"]]), qtk.MAX_DEPTH)
-        anc = qtk.round_to(qkey, max(0, 17 - ring_levels))[0]
-        aminx, aminy, amaxx, amaxy = (v[0] for v in qtk.bounds(np.array([anc]), 0.05))
-        bminx, bminy, bmaxx, bmaxy = qtk.bounds(tile_keys, 0.05)
-        hit = (bminx <= amaxx) & (bmaxx >= aminx) & (bminy <= amaxy) & (bmaxy >= aminy)
-        for t in tile_idx[hit]:
-            pairs.append((r["query_id"], int(t)))
-    spark = elements_tiled.sparkSession
-    cand_tiles = spark.createDataFrame(pairs, "query_id string, tile_idx long")
-    cand = _with_center(elements_tiled).join(F.broadcast(cand_tiles), "tile_idx")
-    cand = cand.join(F.broadcast(queries), "query_id")
+    bminx, bminy, bmaxx, bmaxy = qtk.bounds(tile_keys, 0.05)
+    order = np.argsort(bminx, kind="stable")
+    sminx, smaxx = bminx[order], bmaxx[order]
+    sminy, smaxy = bminy[order], bmaxy[order]
+    sidx = tile_idx[order]
+    max_w = int((smaxx - sminx).max()) if len(sminx) else 0
+    anc_level = max(0, 17 - ring_levels)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _cand_tiles(qx: pd.Series, qy: pd.Series) -> pd.Series:
+        qxa = qx.to_numpy(np.int64)
+        qya = qy.to_numpy(np.int64)
+        qkey = qtk.point_quadtree(qxa, qya, qtk.MAX_DEPTH)
+        anc = qtk.round_to(qkey, anc_level)
+        aminx, aminy, amaxx, amaxy = qtk.bounds(anc, 0.05)
+        out = []
+        for i in range(len(qxa)):
+            lo = np.searchsorted(sminx, aminx[i] - max_w, side="left")
+            hi = np.searchsorted(sminx, amaxx[i], side="right")
+            sl = slice(lo, hi)
+            m = (
+                (smaxx[sl] >= aminx[i])
+                & (sminy[sl] <= amaxy[i])
+                & (smaxy[sl] >= aminy[i])
+            )
+            out.append(sidx[sl][m].tolist())
+        return pd.Series(out)
+
+    cand_tiles = queries.select(
+        "query_id", "qx", "qy",
+        F.explode(_cand_tiles(F.col("qx"), F.col("qy"))).alias("tile_idx"),
+    )
+    cand = _with_center(elements_tiled).join(cand_tiles, "tile_idx")
     w = Window.partitionBy("query_id").orderBy(_dist2().asc(), F.col("id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))

@@ -107,29 +107,34 @@ def pip_join(elements: DataFrame, regions: DataFrame) -> DataFrame:
         )
 
     if poly_rows:
-        # ONE vectorized pass over every polygon: the UDF returns the array
-        # of matching region ids per point (posexplode fans out matches).
-        # Ring arrays are closure-captured (broadcast with the UDF); per
-        # polygon we test only points inside its bbox (numpy mask) — the
-        # single-job shape keeps scheduling latency flat in the region count.
+        # ONE vectorized pass over every polygon ring: the UDF returns the
+        # array of matching region ids per point (posexplode fans out
+        # matches). Ring arrays are closure-captured (broadcast with the
+        # UDF); per ring we test only points inside its bbox (numpy mask).
+        # Hole rings (hole=true, .poly '!' sections) subtract: a point
+        # matches a region iff inside >=1 outer ring and inside 0 hole rings.
         rings = sorted(
             (
                 (
                     r["region_id"],
                     np.asarray(r["lons"], dtype=np.float64),
                     np.asarray(r["lats"], dtype=np.float64),
+                    bool(r.asDict().get("hole") or False),
                 )
                 for r in poly_rows
             ),
-            key=lambda t: t[0],
+            key=lambda t: (t[0], t[3]),
         )
+        region_ids = sorted({rid for rid, _, _, _ in rings})
 
         @pandas_udf(ArrayType(StringType()))
         def _pip_all(cx: pd.Series, cy: pd.Series) -> pd.Series:
             px = cx.to_numpy(np.int64).astype(np.float64)
             py = cy.to_numpy(np.int64).astype(np.float64)
-            matches: list[list[str]] = [[] for _ in range(len(px))]
-            for rid, lons, lats in rings:
+            n = len(px)
+            outer = {rid: np.zeros(n, dtype=bool) for rid in region_ids}
+            holes = {rid: np.zeros(n, dtype=bool) for rid in region_ids}
+            for rid, lons, lats, is_hole in rings:
                 box = (
                     (px >= lons.min()) & (px <= lons.max())
                     & (py >= lats.min()) & (py <= lats.max())
@@ -138,7 +143,10 @@ def pip_join(elements: DataFrame, regions: DataFrame) -> DataFrame:
                     continue
                 idx = np.nonzero(box)[0]
                 hit = _point_in_rings(px[idx], py[idx], lons, lats)
-                for i in idx[hit]:
+                (holes if is_hole else outer)[rid][idx[hit]] = True
+            matches: list[list[str]] = [[] for _ in range(n)]
+            for rid in region_ids:
+                for i in np.nonzero(outer[rid] & ~holes[rid])[0]:
                     matches[i].append(rid)
             return pd.Series(matches)
 

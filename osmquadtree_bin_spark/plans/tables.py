@@ -50,8 +50,108 @@ def _osm_id():
     return F.when(F.shiftrightunsigned(F.col("id"), 59) == 2, -oid).otherwise(oid)
 
 
+_PH_DEPTH = 12  # grid depth cap for the parent_highway cell join
+
+
+def _cell_key(a, x, y):
+    """Pack (depth, cell_x, cell_y) into one join key."""
+    return (
+        F.shiftleft(a.cast("long"), 40)
+        .bitwiseOR(F.shiftleft(x.cast("long"), 20))
+        .bitwiseOR(y.cast("long"))
+    )
+
+
+def _grid_xy(lon_col: str, lat_col: str):
+    """Fixed-point lon/lat → depth-_PH_DEPTH integer grid coords (equirect
+    grid is fine here: the key only buckets, the exact bbox test follows)."""
+    n = 1 << _PH_DEPTH
+    x = F.floor((F.col(lon_col) + 1_800_000_000) / F.lit(3_600_000_000) * n)
+    y = F.floor((F.col(lat_col) + 900_000_000) / F.lit(1_800_000_000) * n)
+    clamp = lambda c: F.greatest(F.least(c, F.lit(n - 1)), F.lit(0))  # noqa: E731
+    return clamp(x).cast("long"), clamp(y).cast("long")
+
+
+def _bitlen(col: str, maxbits: int) -> str:
+    """Exact integer bit_length (sum of threshold tests — no float log2,
+    whose last-ulp rounding could silently skip grid cells)."""
+    return " + ".join(
+        f"(CASE WHEN {col} >= {1 << k} THEN 1 ELSE 0 END)" for k in range(maxbits)
+    )
+
+
+def _parent_highway(pts: DataFrame, hwy_lines: DataFrame) -> DataFrame:
+    """A6 calc_parent as a CELL EQUI-JOIN (scales; no broadcast, no theta).
+
+    Each highway line picks the deepest grid depth at which its bbox covers
+    <= 2 cells per axis (capped at _PH_DEPTH) and explodes into those <= 4
+    cells; each point explodes into its ancestor cells at every depth
+    0.._PH_DEPTH. Hash-join on the packed (depth, cx, cy) key, then the exact
+    bbox predicate, then min_by. Complete: a point inside a line's bbox
+    shares its ancestor cell at the line's chosen depth with one of the
+    line's covered cells. Skew-safe: nearly all lines land at full depth, so
+    shallow-depth point keys meet only the few continent-sized lines.
+    """
+    D = _PH_DEPTH
+    x0, y0 = _grid_xy("lminx", "lminy")
+    x1, y1 = _grid_xy("lmaxx", "lmaxy")
+    lines_k = (
+        hwy_lines.withColumn("_x0", x0).withColumn("_y0", y0)
+        .withColumn("_x1", x1).withColumn("_y1", y1)
+        # common-prefix depth per axis -> deepest depth with <= 2 cells/axis
+        .withColumn(
+            "_d",
+            F.expr(
+                f"least({D} - ({_bitlen('(_x0 ^ _x1)', D)}) + 1, "
+                f"least({D} - ({_bitlen('(_y0 ^ _y1)', D)}) + 1, {D}))"
+            ),
+        )
+        .withColumn(
+            "_ck",
+            F.explode(
+                F.expr(
+                    f"array_distinct(array("
+                    f"shiftleft(CAST(_d AS BIGINT), 40) | shiftleft(shiftright(_x0, {D} - _d), 20) | shiftright(_y0, {D} - _d),"
+                    f"shiftleft(CAST(_d AS BIGINT), 40) | shiftleft(shiftright(_x1, {D} - _d), 20) | shiftright(_y0, {D} - _d),"
+                    f"shiftleft(CAST(_d AS BIGINT), 40) | shiftleft(shiftright(_x0, {D} - _d), 20) | shiftright(_y1, {D} - _d),"
+                    f"shiftleft(CAST(_d AS BIGINT), 40) | shiftleft(shiftright(_x1, {D} - _d), 20) | shiftright(_y1, {D} - _d)))"
+                )
+            ),
+        )
+        .drop("_x0", "_y0", "_x1", "_y1", "_d")
+    )
+    px, py = _grid_xy("minx", "miny")
+    pts_k = (
+        pts.select("id", "minx", "miny")
+        .withColumn("_px", px).withColumn("_py", py)
+        .withColumn(
+            "_ck",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {D}), a -> "
+                    f"shiftleft(CAST(a AS BIGINT), 40) | "
+                    f"shiftleft(shiftright(_px, {D} - a), 20) | shiftright(_py, {D} - a))"
+                )
+            ),
+        )
+        .drop("_px", "_py")
+    )
+    return (
+        pts_k.join(lines_k, "_ck")
+        .filter(
+            (F.col("minx") >= F.col("lminx")) & (F.col("minx") <= F.col("lmaxx"))
+            & (F.col("miny") >= F.col("lminy")) & (F.col("miny") <= F.col("lmaxy"))
+        )
+        .groupBy("id")
+        .agg(F.min_by("l_highway", "l_osm_id").alias("parent_highway"))
+    )
+
+
 def register_tables(
-    spark: SparkSession, elements: DataFrame, style_path: str = STYLE_PATH
+    spark: SparkSession,
+    elements: DataFrame,
+    style_path: str = STYLE_PATH,
+    parent_highway: bool = True,
 ) -> dict[str, DataFrame]:
     """Create temp views planet_osm_point / line / polygon / roads.
 
@@ -76,36 +176,35 @@ def register_tables(
 
     # A6 calc_parent (extrastyle.json:73): a point inherits the highway value
     # of a containing way — doc-model analogue: highway of the smallest-id
-    # LINESTRING whose bbox contains the point center. Broadcast the (small)
-    # highway-line side; at planet scale this becomes a tile-equi-join against
-    # the tiled table instead of a theta join.
-    hwy_lines = (
-        base.filter(
-            (F.col("geom_type") == 1)
-            & F.element_at(F.col("tags"), "highway").isNotNull()
-        )
-        .select(
-            F.col("minx").alias("lminx"), F.col("miny").alias("lminy"),
-            F.col("maxx").alias("lmaxx"), F.col("maxy").alias("lmaxy"),
-            F.col("osm_id").alias("l_osm_id"),
-            F.element_at(F.col("tags"), "highway").alias("l_highway"),
-        )
-    )
+    # LINESTRING whose bbox contains the point center. Cell equi-join (see
+    # _parent_highway) — never a broadcast nested-loop theta join. Built only
+    # when `parent_highway=True`: the left join would survive in every plan
+    # over planet_osm_point even when the column is never projected (Catalyst
+    # cannot eliminate an outer join without unique-key metadata), so callers
+    # whose query set never touches the column can skip it outright.
     pts = base.filter(F.col("geom_type") == 0)
-    parent = (
-        pts.select("id", "minx", "miny")
-        .join(
-            F.broadcast(hwy_lines),
-            (F.col("minx") >= F.col("lminx")) & (F.col("minx") <= F.col("lmaxx"))
-            & (F.col("miny") >= F.col("lminy")) & (F.col("miny") <= F.col("lmaxy")),
+    if parent_highway:
+        hwy_lines = (
+            base.filter(
+                (F.col("geom_type") == 1)
+                & F.element_at(F.col("tags"), "highway").isNotNull()
+            )
+            .select(
+                F.col("minx").alias("lminx"), F.col("miny").alias("lminy"),
+                F.col("maxx").alias("lmaxx"), F.col("maxy").alias("lmaxy"),
+                F.col("osm_id").alias("l_osm_id"),
+                F.element_at(F.col("tags"), "highway").alias("l_highway"),
+            )
         )
-        .groupBy("id")
-        .agg(F.min_by("l_highway", "l_osm_id").alias("parent_highway"))
-    )
-    point = (
-        pts.join(parent, "id", "left")
-        .select("osm_id", "quadtree", "way", F.col("parent_highway"), *proj(node_tags))
-    )
+        parent = _parent_highway(pts, hwy_lines)
+        point = pts.join(parent, "id", "left").select(
+            "osm_id", "quadtree", "way", F.col("parent_highway"), *proj(node_tags)
+        )
+    else:
+        point = pts.select(
+            "osm_id", "quadtree", "way",
+            F.lit(None).cast("string").alias("parent_highway"), *proj(node_tags)
+        )
     line = (
         base.filter(
             (F.col("geom_type") == 1) | ((F.col("geom_type") == 2) & area_no)

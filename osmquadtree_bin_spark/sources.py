@@ -47,18 +47,18 @@ def read_poly(path: str) -> dict:
 
 
 def poly_to_regions(spark, path: str) -> DataFrame:
-    """.poly → the engine's regions frame (outer rings only as polygon
-    regions; holes are carried for future subtraction)."""
+    """.poly → the engine's regions frame. All rings share the poly's name as
+    region_id; hole rings carry hole=true and are SUBTRACTED by pip_join
+    (.poly semantics: union of outer sections minus '!' sections)."""
     poly = read_poly(path)
     rows = [
-        (f"{poly['name']}_{i}", "polygon", None, None, None, None, lons, lats)
-        for i, (lons, lats, hole) in enumerate(poly["rings"])
-        if not hole
+        (poly["name"], "polygon", None, None, None, None, lons, lats, hole)
+        for lons, lats, hole in poly["rings"]
     ]
     return spark.createDataFrame(
         rows,
         "region_id string, kind string, minx long, miny long, maxx long, maxy long, "
-        "lons array<long>, lats array<long>",
+        "lons array<long>, lats array<long>, hole boolean",
     )
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .udfs import qt_calculate
+from .functions.qtsql import with_qt_sql
 
 # packed id: element type in bits >=59, low 40 bits the sequence id
 # (reference convention: /root/reference/osmquadtree-postgis.go:279-284)
@@ -30,12 +30,11 @@ TYPE_POINT, TYPE_LINE, TYPE_POLYGON = 0, 1, 2
 def explode_geoms(docs: DataFrame) -> DataFrame:
     """Flatten geom spans → element rows with lineage + qt key.
 
-    Spark shape: posexplode → filter → split → str_to_map → pandas-UDF bbox →
-    pandas-UDF quadtree. All narrow (no shuffle); Catalyst prunes the scan to
-    (doc_id, spans).
+    Spark shape: posexplode → filter → split → str_to_map → JVM bbox →
+    JVM quadtree Calculate (functions.qtsql). All narrow (no shuffle), zero
+    Python/Arrow round-trips; Catalyst prunes the scan to (doc_id, spans).
     """
-    # WKT bbox: JVM-side regexp + higher-order array functions (codegen) —
-    # the only Python in this pipeline is the qt_calculate numpy kernel.
+    # WKT bbox: JVM-side regexp + higher-order array functions (codegen)
     nums = "transform(regexp_extract_all(wkt, '-?\\\\d+', 0), v -> cast(v as bigint))"
     xs = "filter(transform(_nums, (v, i) -> IF(i % 2 = 0, v, null)), v -> v is not null)"
     ys = "filter(transform(_nums, (v, i) -> IF(i % 2 = 1, v, null)), v -> v is not null)"
@@ -57,8 +56,13 @@ def explode_geoms(docs: DataFrame) -> DataFrame:
         )
         .withColumn("tags", F.str_to_map("tagstr", F.lit(";"), F.lit("=")))
         .withColumn(
+            # MULTI* routes to its base type (the reference's geometry.Multi,
+            # osmquadtree-postgis.go:265-274, keeps multi-geoms with their
+            # base kind for table routing)
             "geom_type",
-            F.when(F.col("wkt").startswith("POINT"), TYPE_POINT)
+            F.when(F.col("wkt").startswith("MULTIPOINT"), TYPE_POINT)
+            .when(F.col("wkt").startswith("MULTILINESTRING"), TYPE_LINE)
+            .when(F.col("wkt").startswith("POINT"), TYPE_POINT)
             .when(F.col("wkt").startswith("LINESTRING"), TYPE_LINE)
             .otherwise(TYPE_POLYGON)
             .cast("int"),
@@ -74,8 +78,8 @@ def explode_geoms(docs: DataFrame) -> DataFrame:
             F.array_max("_ys").alias("maxy"),
             F.size("_xs").alias("npoints"),
         )
-        .withColumn("qt", qt_calculate("minx", "miny", "maxx", "maxy"))
     )
+    e = with_qt_sql(e)  # JVM-side Calculate — bit-identical to the numpy kernel
     # packed id: (geom_type << 59) | (doc seq * 64 + span_idx)  — low 40 bits
     seq = F.regexp_extract("doc_id", r"(\d+)", 1).cast("long") * 64 + F.col("span_idx")
     return e.withColumn(

@@ -34,7 +34,6 @@ from pyspark.sql.types import LongType
 
 from . import quadtree as qtk
 from .quadtree import round_to
-from .udfs import qt_round
 
 QT_TREE_MAX_LEVEL = 17  # osmquadtree-prepare.go:87
 GROUP_TARGET = 8000  # osmquadtree-prepare.go:88
@@ -73,8 +72,6 @@ def count_tree(
     may exceed what the driver should hold (~20M rows), a distributed
     pre-shrink runs first. The reference expects ~500k tiles at planet scale
     (``osmquadtree-prepare.go:201``)."""
-    import math
-
     import math
 
     # ONE distributed pass: aggregate at the requested level and collect —
@@ -279,9 +276,16 @@ def make_tile_assigner(groups: pd.DataFrame, level: int = QT_TREE_MAX_LEVEL):
     gkeys_sorted = gkeys[order]
     gidx_sorted = gidx[order]
 
+    # Unmatched elements (no ancestor group — possible for NEW data arriving
+    # through the incremental path after groups were fixed) land in an
+    # explicit overflow tile instead of -1/NaN poisoning the int64 cast.
+    overflow_idx = int(gidx.max()) + 1 if len(gidx) else 0
+
     def assign(qt: np.ndarray) -> np.ndarray:
         qt = qtk.round_to(np.asarray(qt, dtype=np.int64), level)
-        out = np.full(qt.shape, -1, dtype=np.int64)
+        out = np.full(qt.shape, overflow_idx, dtype=np.int64)
+        if not len(gkeys_sorted):
+            return out
         pending = np.ones(qt.shape, dtype=bool)
         for d in range(level, -1, -1):
             if not pending.any():
@@ -294,6 +298,7 @@ def make_tile_assigner(groups: pd.DataFrame, level: int = QT_TREE_MAX_LEVEL):
             pending &= ~hit
         return out
 
+    assign.overflow_idx = overflow_idx
     return assign
 
 
@@ -308,10 +313,11 @@ def assign_tiles(
         return pd.Series(assigner(qt.to_numpy(np.int64)))
 
     lookup = pd.Series(tile_qt_by_idx).to_dict()
+    lookup.setdefault(assigner.overflow_idx, 0)  # overflow tile rolls up to root
 
     @pandas_udf(LongType())
     def _tile_qt(idx: pd.Series) -> pd.Series:
-        return idx.map(lookup).astype(np.int64)
+        return idx.map(lambda i: lookup.get(i, 0)).astype(np.int64)
 
     return elements.withColumn("tile_idx", _assign(F.col("qt"))).withColumn(
         "tile_qt", _tile_qt(F.col("tile_idx"))

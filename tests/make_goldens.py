@@ -26,6 +26,43 @@ def main():
         f.write("\n".join(group_lines(g)) + "\n")
     print(f"wrote goldens: {len(cells)} tree nodes, {len(g)} groups")
 
+    if len(sys.argv) > 1 and sys.argv[1] == "oracle":
+        # Pin the five non-SQL-expressible queries (q26-q30) as parquet
+        # fixtures the driver's DuckDB oracle can read back: the semantics
+        # are independently tested in pytest (tiling goldens, PIP pandas
+        # oracle, dedup property tests); the fixture freezes the exact
+        # output at the driver's correctness scale (sf0.01).
+        import importlib.util
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from osmquadtree_bin_spark.session import get_spark
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "entry", os.path.join(repo, "__spark_entry__.py")
+        )
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        spark = get_spark(app="make-goldens", master="local[8]", shuffle_partitions=8)
+        odir = os.path.join(GOLDEN, "oracle")
+        os.makedirs(odir, exist_ok=True)
+        qs = m.queries()
+        for name in (
+            "q26_tiling_pipeline",
+            "q27_pip_polygon",
+            "q28_minhash_pairs",
+            "q29_simhash_pairs",
+            "q30_multimodal_features",
+        ):
+            pdf = qs[name](spark, "/root/testdata/sf0.01").toPandas()
+            pdf = pdf.sort_values(list(sorted(pdf.columns))).reset_index(drop=True)
+            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                           os.path.join(odir, f"{name}.parquet"))
+            print(f"wrote oracle fixture {name}: {len(pdf)} rows")
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "corpus":
         import json
 

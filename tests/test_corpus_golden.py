@@ -11,15 +11,11 @@ import pytest
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "corpus.json")
 
-# stable subset: layers whose tag vocabulary the doc generator emits
-LAYERS = [
-    "landcover-line", "roads-fill", "water-areas", "tunnels", "bridges",
-    "buildings", "admin-low-zoom", "waterway-bridges", "rivers-low-zoom",
-    "landcover-low-zoom",
-]
-
 
 def corpus_checksums(spark, docs):
+    """Every one of the 72 corpus layers, pinned by (row count, sorted
+    md5-of-rows) — zero-row layers are pinned at rows=0 too, so a filter
+    regression that silently empties a layer still trips the golden."""
     from osmquadtree_bin_spark.plans.corpus import load_corpus, run_query
     from osmquadtree_bin_spark.plans.tables import register_tables
     from osmquadtree_bin_spark.spans import explode_geoms
@@ -27,9 +23,7 @@ def corpus_checksums(spark, docs):
     register_tables(spark, explode_geoms(docs))
     corpus = load_corpus()
     out = {}
-    for name in LAYERS:
-        if name not in corpus:
-            continue
+    for name in sorted(corpus):
         df = run_query(spark, corpus[name])
         rows = sorted(str(tuple(r)) for r in df.collect())
         digest = hashlib.md5("\n".join(rows).encode()).hexdigest()

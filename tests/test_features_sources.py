@@ -56,8 +56,36 @@ def test_poly_roundtrip(spark, tmp_path):
     assert parsed["rings"][1][2] is True  # hole flag
     regs = poly_to_regions(spark, str(p))
     rows = regs.collect()
-    assert len(rows) == 1  # holes excluded
-    assert rows[0]["kind"] == "polygon"
+    assert len(rows) == 2  # hole rings carried (hole=true) for subtraction
+    assert all(r["kind"] == "polygon" for r in rows)
+    assert [r["hole"] for r in rows] == [False, True]
+    assert {r["region_id"] for r in rows} == {"test_region"}
+
+
+def test_poly_hole_subtraction(spark, tmp_path):
+    """A point inside the outer ring but also inside a '!' hole section must
+    NOT match (.poly semantics: outer union minus holes)."""
+    from osmquadtree_bin_spark.operators.pip_join import pip_join
+
+    rings = [
+        ([-10_000_000, 10_000_000, 10_000_000, -10_000_000],
+         [-10_000_000, -10_000_000, 10_000_000, 10_000_000], False),
+        ([-2_000_000, 2_000_000, 2_000_000, -2_000_000],
+         [-2_000_000, -2_000_000, 2_000_000, 2_000_000], True),
+    ]
+    p = tmp_path / "holed.poly"
+    write_poly(str(p), "holed", rings)
+    regs = poly_to_regions(spark, str(p))
+    els = spark.createDataFrame(
+        [  # (id, doc_id, span_idx, degenerate bbox at the probe point)
+            (1, "d1", 0, 5_000_000, 5_000_000, 5_000_000, 5_000_000),   # in outer only
+            (2, "d2", 0, 0, 0, 0, 0),                                   # in hole
+            (3, "d3", 0, 50_000_000, 0, 50_000_000, 0),                 # outside
+        ],
+        "id long, doc_id string, span_idx int, minx long, miny long, maxx long, maxy long",
+    )
+    got = {r["id"] for r in pip_join(els, regs).collect()}
+    assert got == {1}
 
 
 def test_geojson_emission(spark, docs):

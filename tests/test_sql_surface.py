@@ -124,25 +124,17 @@ def test_corpus_loads_72():
     assert len(corpus) == 72
 
 
-def test_corpus_all_translate_and_parse(spark, tables):
-    """Every corpus query must translate and pass Spark analysis (the
-    reference requirement: every query parses and runs —
-    osmquadtree-geometry.go:87-148)."""
+def test_corpus_all_execute(spark, tables):
+    """Every corpus query must translate, analyze AND EXECUTE (the reference
+    acceptance bar: every query parses and runs — osmquadtree-geometry.go:
+    87-148,493). A dialect-rewrite bug that only bites at execution (null
+    ``||`` semantics, ORDER BY over an aliased CASE, ...) fails here."""
     corpus = load_corpus()
     failed = {}
     for name, sql in sorted(corpus.items()):
         try:
-            df = run_query(spark, sql)
-            df.schema  # force analysis
+            n = run_query(spark, sql).count()
+            assert n >= 0
         except Exception as e:  # noqa: BLE001
             failed[name] = str(e).split("\n")[0][:200]
     assert not failed, f"{len(failed)} corpus queries failed: {failed}"
-
-
-def test_corpus_sample_queries_execute(spark, tables):
-    corpus = load_corpus()
-    for name in ["landcover-line", "roads-fill", "water-areas", "tunnels"]:
-        if name not in corpus:
-            continue
-        n = run_query(spark, corpus[name]).count()
-        assert n >= 0

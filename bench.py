@@ -32,17 +32,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_DOCS_SCALING = int(os.environ.get("BENCH_N_DOCS", "3000000"))
-# N vs 4N on one box: the pipeline moves ~GB/stage through memory, and a
-# single socket's memory bandwidth + SMT sharing saturate around 4-8 busy
-# cores — beyond that, local-mode threads measure hardware sharing, not
-# engine scaling (a real cluster adds bandwidth + disks with every
-# executor). local[1]→local[4] stays inside the bandwidth envelope and is
-# the honest single-box proxy for N→4N executors; see BENCH.md for the
-# saturated 4→16 companion measurement.
+N_DOCS_SCALING = int(os.environ.get("BENCH_N_DOCS", "10000000"))
+# The BASELINE.md-stated levels: local[8] vs local[32], measured at 10M docs
+# so steady-state work dominates fixed costs. BENCH.md carries the
+# calibration companions (raw-CPU and JVM-compute-only scaling on this box)
+# that separate engine scaling from single-box hardware sharing.
 SCALING_LEVELS = (
-    int(os.environ.get("BENCH_CPUS_N", "1")),
-    int(os.environ.get("BENCH_CPUS_4N", "4")),
+    int(os.environ.get("BENCH_CPUS_N", "8")),
+    int(os.environ.get("BENCH_CPUS_4N", "32")),
 )
 
 HEADLINE = [
@@ -241,12 +238,14 @@ def _write_bench_md(results: dict, efficiency: float) -> None:
         "count tree → group walk → tiled shuffle-write) plus a PIP join, same "
         f"deterministic input ({N_DOCS_SCALING} interleaved docs), two "
         "parallelism levels in separate JVMs (the sandbox stand-in for N vs "
-        f"4N executors), staged on tmpfs. Levels local[{n}] vs local[{n4}]: "
-        "the job moves ~GB/stage through memory and one socket's bandwidth + "
-        "SMT saturate around 4-8 busy cores, so higher thread counts measure "
-        "hardware sharing, not engine scaling — on a real cluster every "
-        "executor adds its own memory bandwidth and disks. Steady-state "
-        "timing: full warm-up pass first, second pass measured.",
+        f"4N executors), staged on tmpfs, at the BASELINE.md-stated levels "
+        f"local[{n}] vs local[{n4}]. Steady-state timing: full warm-up pass "
+        "first, second pass measured. Calibration companions (see the table "
+        "in the committed BENCH.md): raw-CPU multiprocess scaling and "
+        "JVM-compute-only scaling on the same box bound what any engine can "
+        "achieve across these levels when all threads share one memory "
+        "system — on a real cluster every executor adds its own bandwidth "
+        "and disks.",
         "",
         "| parallelism | rows | wall (s) | rows/sec | stage breakdown (s) |",
         "|---|---|---|---|---|",

@@ -28,6 +28,31 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..quadtree import COORD_SCALE, MAX_DEPTH, MAX_LAT
 
+
+def plan_barrier(df: DataFrame) -> DataFrame:
+    """Stop Catalyst's alias substitution at this point in the plan.
+
+    Several rules inline Project alias chains by substitution — CollapseProject
+    (cost-checked), PushDownPredicates (NOT cost-checked), PhysicalOperation
+    during scan planning, and dynamic-partition-pruning's scan discovery. On
+    the deep qt expression chain (temps referenced 2-4x across ~30 levels)
+    that substitution is exponential: observed 15.5 MB single expressions,
+    135 s optimizer spins, and executor tasks wedged for minutes in per-task
+    ``transformUp`` over the inlined tree.
+
+    A nondeterministic throwaway column does NOT survive as a barrier —
+    ColumnPruning drops the unused alias and RemoveNoopOperators then deletes
+    the whole project. What genuinely stops every alias-collecting rule is a
+    non-Project node in the lineage, so we round-trip the row through
+    ``inline(array(struct(*cols)))``: a Generate that no rule substitutes
+    through, costs one codegen'd struct copy per row, and cannot be optimized
+    away. Measured: planning a join over this lineage went 12.4 s -> 0.26 s
+    with dynamic partition pruning left ON. Filter pushdown below the barrier
+    is not a loss — the callers place it directly above the span posexplode,
+    which blocks span-level pushdown anyway.
+    """
+    return df.select(F.inline(F.array(F.struct(*df.columns))))
+
 # double closest to 1.0 from below — lat_to_unit's np.nextafter(1.0, 0.0) clip
 _ONE_MINUS_ULP = "0.9999999999999999"
 

@@ -150,6 +150,12 @@ def pip_join(elements: DataFrame, regions: DataFrame) -> DataFrame:
                     matches[i].append(rid)
             return pd.Series(matches)
 
+        # asNondeterministic: stops the size(_rids)>0 filter from being
+        # pushed through this projection with the UDF call (and its bbox-
+        # center args, which inline the span-parse alias chain) substituted
+        # into it — the same exponential plan-size bomb as tiling._assign.
+        _pip_all = _pip_all.asNondeterministic()
+
         cx = ((F.col("minx") + F.col("maxx")) / 2).cast("long")
         cy = ((F.col("miny") + F.col("maxy")) / 2).cast("long")
         out.append(

@@ -34,6 +34,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The JVM JIT refuses methods > 8000 bytecode bytes
+        # (DontCompileHugeMethods); Spark's default hugeMethodLimit (65535)
+        # happily emits whole-stage methods the JIT then interprets. The
+        # 18-level quadtree CASE fused with its projection crosses 8K and ran
+        # 10x slower until capped here: 24.2s -> 2.4s on the same stage at
+        # local[32] (Spark falls back to per-operator codegen, which splits
+        # into JIT-able methods).
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # Constraint propagation substitutes alias chains into inferred
+        # isnotnull constraints EXPONENTIALLY: any join above the deep
+        # qt-expression chain (tile assignment, parent_highway) made the
+        # optimizer hang for minutes and OOM the driver. Known Spark
+        # pathology (see SPARK-17733 lineage); the inferred filters buy us
+        # nothing on these plans.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # ParallelGC: G1 measurably anti-scales allocation-heavy codegen

@@ -46,7 +46,9 @@ def st_geometryn(way: Column, n: Column) -> Column:
     # body between the outermost parens, split on the ')),((' separators
     body = F.regexp_extract(way, r"^\s*MULTI[A-Z]+\s*\(\s*(.*)\s*\)\s*$", 1)
     parts = F.split(body, r"\)\s*\)\s*,\s*\(\s*\(")
-    part = F.element_at(parts, n.cast("int"))
+    # F.get (0-based, null-safe): ANSI element_at errors out-of-bounds, and
+    # the non-multi CASE arm can still be CSE-evaluated in fallback codegen
+    part = F.get(parts, (n - 1).cast("int"))
     # re-close the parens stripped by the split
     fixed = F.concat(
         F.lit("POLYGON(("),

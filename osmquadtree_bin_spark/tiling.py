@@ -305,22 +305,33 @@ def make_tile_assigner(groups: pd.DataFrame, level: int = QT_TREE_MAX_LEVEL):
 def assign_tiles(
     elements: DataFrame, groups: pd.DataFrame, level: int = QT_TREE_MAX_LEVEL
 ) -> DataFrame:
+    """ONE Arrow round-trip: the searchsorted assigner produces tile_idx;
+    tile_qt comes from a broadcast hash join against the (tiny) groups frame
+    — JVM-side, instead of a second Python UDF pass over every element."""
     assigner = make_tile_assigner(groups, level)
-    tile_qt_by_idx = groups.set_index("tile_idx")["tile_qt"]
 
     @pandas_udf(LongType())
     def _assign(qt: pd.Series) -> pd.Series:
         return pd.Series(assigner(qt.to_numpy(np.int64)))
 
-    lookup = pd.Series(tile_qt_by_idx).to_dict()
-    lookup.setdefault(assigner.overflow_idx, 0)  # overflow tile rolls up to root
+    # asNondeterministic: REQUIRED for plan health, not semantics. A filter on
+    # tile_idx above this (e.g. apply_diff touching one tile) is otherwise
+    # pushed through the projection by substituting the UDF call — and its qt
+    # argument — down every level of the parse/qt alias chain, exponentially
+    # inlining the chain into a multi-MB expression that is then evaluated a
+    # SECOND time below the real one (observed: 15.5 MB plan, 135 s optimize,
+    # tasks wedged in per-task transformUp). Nondeterministic marks block
+    # predicate pushdown through the UDF, which costs nothing here: the filter
+    # can never reach parquet anyway (tile_idx exists only above this point).
+    _assign = _assign.asNondeterministic()
 
-    @pandas_udf(LongType())
-    def _tile_qt(idx: pd.Series) -> pd.Series:
-        return idx.map(lambda i: lookup.get(i, 0)).astype(np.int64)
-
-    return elements.withColumn("tile_idx", _assign(F.col("qt"))).withColumn(
-        "tile_qt", _tile_qt(F.col("tile_idx"))
+    spark = elements.sparkSession
+    gmap = groups[["tile_idx", "tile_qt"]].copy()
+    if assigner.overflow_idx not in set(gmap["tile_idx"]):
+        gmap.loc[len(gmap)] = [assigner.overflow_idx, 0]  # overflow → root qt
+    gdf = spark.createDataFrame(gmap.astype({"tile_idx": "int64", "tile_qt": "int64"}))
+    return elements.withColumn("tile_idx", _assign(F.col("qt"))).join(
+        F.broadcast(gdf), "tile_idx"
     )
 
 

@@ -11,6 +11,9 @@ from osmquadtree_bin_spark.session import get_spark  # noqa: E402
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")  # small + fast for unit tests
+    # 16g heap: the all-72 corpus execution + per-operator-codegen fallback
+    # churn overflows the old 8g ("GC overhead limit exceeded"); box has 125g
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     s = get_spark(app="oqt-tests", master="local[4]", shuffle_partitions=4)
     yield s
     s.stop()

@@ -46,21 +46,24 @@ def main():
         m = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(m)
         spark = get_spark(app="make-goldens", master="local[8]", shuffle_partitions=8)
-        odir = os.path.join(GOLDEN, "oracle")
-        os.makedirs(odir, exist_ok=True)
         qs = m.queries()
-        for name in (
-            "q26_tiling_pipeline",
-            "q27_pip_polygon",
-            "q28_minhash_pairs",
-            "q29_simhash_pairs",
-            "q30_multimodal_features",
-        ):
-            pdf = qs[name](spark, "/root/testdata/sf0.01").toPandas()
-            pdf = pdf.sort_values(list(sorted(pdf.columns))).reset_index(drop=True)
-            pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
-                           os.path.join(odir, f"{name}.parquet"))
-            print(f"wrote oracle fixture {name}: {len(pdf)} rows")
+        # one fixture set per scale the contract is checked at: the driver
+        # gates at sf0.01, the pytest contract suite at sf0.001
+        for sf in ("sf0.001", "sf0.01"):
+            odir = os.path.join(GOLDEN, "oracle", sf)
+            os.makedirs(odir, exist_ok=True)
+            for name in (
+                "q26_tiling_pipeline",
+                "q27_pip_polygon",
+                "q28_minhash_pairs",
+                "q29_simhash_pairs",
+                "q30_multimodal_features",
+            ):
+                pdf = qs[name](spark, f"/root/testdata/{sf}").toPandas()
+                pdf = pdf.sort_values(list(sorted(pdf.columns))).reset_index(drop=True)
+                pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                               os.path.join(odir, f"{name}.parquet"))
+                print(f"wrote oracle fixture {sf}/{name}: {len(pdf)} rows")
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "corpus":

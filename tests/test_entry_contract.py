@@ -15,6 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
+# fixture-backed oracles (q26-q30) must read the fixture set for THIS scale
+os.environ["SPARK_GRAFT_ORACLE_SF"] = "sf0.001"
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
     "events", "documents", "embeddings",

@@ -198,3 +198,29 @@ def test_simhash_bands_keep_wide_pieces():
         simhash_near_pairs(None, max_hamming=3, bands=8)  # 8-bit pieces
     with pytest.raises(ValueError):
         simhash_near_pairs(None, max_hamming=12, bands=4)  # radius 3 masks
+
+
+def test_ann_recall_on_clustered_data(spark):
+    """LSH ANN must recover >= 0.85 of exact top-10 on clustered embeddings
+    (on uniform random vectors ANY bucketing has low recall — not a useful
+    target). Levers: L independent tables + hamming-1 multiprobe."""
+    rng = np.random.default_rng(7)
+    dim, nc, per = 32, 40, 50
+    centers = rng.standard_normal((nc, dim))
+    vecs = (centers[np.repeat(np.arange(nc), per)]
+            + 0.25 * rng.standard_normal((nc * per, dim)))
+    e = spark.createDataFrame(
+        [(int(i), vecs[i].tolist()) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    q = e.filter(F.col("vec_id") % 250 == 0).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    exact = cosine_topk(e, q, k=10).toPandas()
+    ann = lsh_bucket_topk(e, q, dim, k=10, nbits=12, multiprobe=1, tables=4).toPandas()
+    recalls = [
+        len(set(ann[ann.query_id == qid].vec_id) & set(g.vec_id)) / len(g)
+        for qid, g in exact.groupby("query_id")
+    ]
+    assert sum(recalls) / len(recalls) >= 0.85

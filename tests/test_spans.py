@@ -57,3 +57,28 @@ def test_span_sequence_invariant_through_pipeline(spark, docs):
     )
     assert diff.count() == 0
     assert after.count() == before.count()
+
+
+def test_multi_geometry_routing_and_bbox(spark):
+    """MULTI* WKT routes to its base geometry type (reference geometry.Multi,
+    osmquadtree-postgis.go:265-274) and the bbox spans ALL components."""
+    rows = [
+        ("doc_0", [("geom", "MULTIPOINT((10 10),(30 40))|k=v", "", 0)]),
+        ("doc_1", [("geom", "MULTILINESTRING((0 0,5 5),(20 20,25 30))", "", 0)]),
+        ("doc_2", [("geom", "MULTIPOLYGON(((0 0,4 0,4 4,0 0)),((10 10,14 10,14 14,10 10)))", "", 0)]),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {r.doc_id: r for r in explode_geoms(docs).collect()}
+    assert got["doc_0"].geom_type == 0  # MULTIPOINT -> point
+    assert got["doc_1"].geom_type == 1  # MULTILINESTRING -> line
+    assert got["doc_2"].geom_type == 2  # MULTIPOLYGON -> polygon
+    # bbox covers every component, not just the first
+    assert (got["doc_0"].minx, got["doc_0"].maxx) == (10, 30)
+    assert (got["doc_0"].miny, got["doc_0"].maxy) == (10, 40)
+    assert (got["doc_1"].maxx, got["doc_1"].maxy) == (25, 30)
+    assert (got["doc_2"].minx, got["doc_2"].maxy) == (0, 14)
+    assert got["doc_2"].npoints == 8
+    assert got["doc_0"].tags == {"k": "v"}

@@ -138,3 +138,32 @@ def test_corpus_all_execute(spark, tables):
         except Exception as e:  # noqa: BLE001
             failed[name] = str(e).split("\n")[0][:200]
     assert not failed, f"{len(failed)} corpus queries failed: {failed}"
+
+
+def test_z_order_table_reference_parity(spark):
+    """Pin the entries the reference map (osmquadtree-geometry-features.go:
+    722-770) defines per-value — the ones a flat per-key default would get
+    wrong — plus layer shifting and first-match-key precedence."""
+    from osmquadtree_bin_spark.functions.zorder import Z_ORDER_TABLE, z_order
+
+    expected = {
+        "railway_rail": 440, "railway_subway": 420, "railway_tram": 410,
+        "railway_tram-service": 405, "railway_disused": 400,
+        "highway_track": 110, "highway_raceway": 300,
+        "highway_platform": 90, "railway_platform": 90,
+        "aeroway_runway": 60, "aeroway_taxiway": 50,
+        "highway_motorway": 380, "highway_service": 150,
+    }
+    for k, v in expected.items():
+        assert Z_ORDER_TABLE[k] == v, k
+    rows = [
+        ({"railway": "tram"}, 410),
+        ({"highway": "track"}, 110),
+        ({"highway": "secondary", "layer": "2"}, 2350),
+        ({"highway": "motorway", "railway": "rail"}, 380),  # highway checked first
+        ({"aeroway": "runway"}, 60),
+        ({"building": "yes"}, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "tags map<string,string>")
+    got = [r[0] for r in df.select(z_order("tags")).collect()]
+    assert got == [z for _, z in rows]

@@ -29,8 +29,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..quadtree import COORD_SCALE, MAX_DEPTH, MAX_LAT
 
 
-def plan_barrier(df: DataFrame) -> DataFrame:
-    """Stop Catalyst's alias substitution at this point in the plan.
+def sever_lineage(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Cut Catalyst's alias-substitution lineage for the named columns.
 
     Several rules inline Project alias chains by substitution — CollapseProject
     (cost-checked), PushDownPredicates (NOT cost-checked), PhysicalOperation
@@ -40,18 +40,31 @@ def plan_barrier(df: DataFrame) -> DataFrame:
     135 s optimizer spins, and executor tasks wedged for minutes in per-task
     ``transformUp`` over the inlined tree.
 
-    A nondeterministic throwaway column does NOT survive as a barrier —
-    ColumnPruning drops the unused alias and RemoveNoopOperators then deletes
-    the whole project. What genuinely stops every alias-collecting rule is a
-    non-Project node in the lineage, so we round-trip the row through
-    ``inline(array(struct(*cols)))``: a Generate that no rule substitutes
-    through, costs one codegen'd struct copy per row, and cannot be optimized
-    away. Measured: planning a join over this lineage went 12.4 s -> 0.26 s
-    with dynamic partition pruning left ON. Filter pushdown below the barrier
-    is not a loss — the callers place it directly above the span posexplode,
-    which blocks span-level pushdown anyway.
+    What doesn't work: a nondeterministic throwaway column (ColumnPruning
+    drops the unused alias, RemoveNoopOperators deletes the project) and a
+    pass-through Generate such as ``explode(array(lit(0)))`` (the original
+    attributes still flow through, so attribute-lineage walks continue below
+    it — measured 15 s optimizer spins return). What works is re-emitting the
+    column from a generator: pack it into ``explode(array(struct(col)))`` and
+    read it back as a struct field. The new attribute is GetStructField of
+    generator output — no rule can substitute past it, ColumnPruning cannot
+    remove the Generate, and every OTHER column passes through untouched, so
+    the runtime cost is one tiny struct (just the severed columns, here a
+    single long) per row instead of a full-row copy. Measured: planning a
+    join over the live lineage 12.4 s -> 0.2 s with dynamic partition
+    pruning left ON; a filter on qt itself (worst case) 0.16 s.
+
+    Filter pushdown below the cut is not a loss: predicates on severed
+    columns could never reach parquet anyway (the columns only exist above
+    this point), and predicates on pass-through columns still push normally.
     """
-    return df.select(F.inline(F.array(F.struct(*df.columns))))
+    others = [c for c in df.columns if c not in cols]
+    packed = F.explode(
+        F.array(F.struct(*[F.col(c).alias(c) for c in cols]))
+    ).alias("_sv")
+    return df.select(*others, packed).select(
+        *others, *[F.col(f"_sv.{c}").alias(c) for c in cols]
+    )
 
 # double closest to 1.0 from below — lat_to_unit's np.nextafter(1.0, 0.0) clip
 _ONE_MINUS_ULP = "0.9999999999999999"
@@ -161,7 +174,9 @@ def with_qt_sql(
             F.expr(f"shiftleft({t}path, 63 - 2 * {t}d) | CAST({t}d AS BIGINT)"),
         )
     )
-    return df.drop(*[c for c in df.columns if c.startswith(t)])
+    df = df.drop(*[c for c in df.columns if c.startswith(t)])
+    # cut the alias lineage of the deep qt chain — see sever_lineage
+    return sever_lineage(df, [out])
 
 
 def qt_sql_expr_cols(df: DataFrame, out: str = "qt") -> Column:

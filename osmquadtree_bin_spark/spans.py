@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .functions.qtsql import plan_barrier, with_qt_sql
+from .functions.qtsql import with_qt_sql
 
 # packed id: element type in bits >=59, low 40 bits the sequence id
 # (reference convention: /root/reference/osmquadtree-postgis.go:279-284)
@@ -95,13 +95,10 @@ def explode_geoms(docs: DataFrame) -> DataFrame:
             F.size("_xs").alias("npoints"),
         )
     )
-    # plan barriers around the qt computation: without them, any join or
-    # aggregate above this lineage makes physical planning inline the whole
-    # parse+qt alias chain exponentially (driver spins for minutes) — see
-    # functions.qtsql.plan_barrier
-    e = plan_barrier(e)
+    # with_qt_sql severs the qt alias lineage on its way out (see
+    # functions.qtsql.sever_lineage): without the cut, any join/filter above
+    # this lineage inlines the whole qt alias chain exponentially.
     e = with_qt_sql(e)  # JVM-side Calculate — bit-identical to the numpy kernel
-    e = plan_barrier(e)
     # packed id: (geom_type << 59) | (doc seq * 64 + span_idx)  — low 40 bits
     seq = F.regexp_extract("doc_id", r"(\d+)", 1).cast("long") * 64 + F.col("span_idx")
     return e.withColumn(

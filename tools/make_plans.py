@@ -84,9 +84,9 @@ def main() -> None:
         "EvalPython" not in p,
     )
     check(
-        "plan_barrier survives optimization (Generate inline/explode nodes)",
-        f"{p.count('Generate')}x Generate in executed plan",
-        p.count("Generate") >= 3,
+        "qt lineage sever survives optimization (explode-struct Generate)",
+        f"{p.count('Generate')}x Generate in executed plan (posexplode + sever)",
+        p.count("Generate") >= 2,
     )
 
     counts = count_tree(elements)

@@ -107,3 +107,143 @@ def lsh_bucket_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------------------------------ IVF ANN
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    dim: int | None = None,
+    n_centroids: int = 64,
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 29,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: Lloyd k-means on a bounded driver sample of
+    L2-NORMALIZED vectors (cosine ≡ dot product after normalization).
+
+    Scale story: the training sample is capped (at planet scale take a
+    keyed-range or seeded sample of ~10-100k rows — centroid quality needs
+    vectors-per-centroid, not corpus coverage); the resulting (n_centroids,
+    dim) float32 array is a few hundred KB, broadcast with the assignment
+    UDF closure. Deterministic: fixed seed + vec_id-ordered sample."""
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
+    )
+    x = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)  # cosine on normalized = dot
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+            else:  # dead centroid: re-seed deterministically
+                cents[c] = x[int(rng.integers(len(x)))]
+    return cents
+
+
+def _centroid_assigner(cents: np.ndarray, nprobe: int = 1):
+    """Pandas UDF: ids of the ``nprobe`` nearest (by cosine) centroids,
+    packed as an array — one Arrow pass, closure-broadcast centroids."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float32)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cents.T
+        if nprobe == 1:
+            top = np.argmax(sims, axis=1)[:, None]
+        else:
+            p = min(nprobe, sims.shape[1])
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        return pd.Series([row.astype(np.int32).tolist() for row in top])
+
+    return _assign.asNondeterministic()  # plan-health: see tiling._assign
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int | None = None,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    sample: int = 10_000,
+    seed: int = 29,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus once (each vector
+    filed under its nearest centroid), probe the ``nprobe`` closest lists
+    per query, exact cosine re-rank inside the probed lists.
+
+    The candidate join is a plain equi-join on centroid id — at scale the
+    corpus side can be bucketed/partitioned by ``cell`` so a probe touches
+    only its lists (the IVF analogue of tile partition pruning). Cost per
+    query ~ nprobe/n_centroids of the corpus vs 1/1 for brute force."""
+    cents = train_ivf_centroids(embeddings, dim, n_centroids, sample, seed=seed)
+    file_under = _centroid_assigner(cents, nprobe=1)
+    probe = _centroid_assigner(cents, nprobe=nprobe)
+    e = embeddings.withColumn(
+        "cell", F.get(file_under(F.col("embedding")), 0)
+    )
+    q = queries.withColumn("cell", F.explode(probe(F.col("qvec"))))
+    cos = _cos_expr("embedding", "qvec")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        e.join(F.broadcast(q), "cell")
+        .select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ------------------------------------------------- embedding near-dup pairs
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    nbits: int = 12,
+    tables: int = 4,
+) -> DataFrame:
+    """Near-duplicate (id_a, id_b, cosine) pairs with cosine >= threshold —
+    the embedding leg of the dedup suite (exact/minhash/simhash live in
+    operators.dedup).
+
+    Candidates come from L independent hyperplane-LSH tables (same-bucket
+    equi-self-join, ``id_a < id_b``, union, dedup) — never an all-pairs
+    cross join — then the exact cosine filter. High-threshold near-dups
+    almost always share a bucket in at least one of L tables (hyperplane
+    collision prob per table = (1 - theta/pi)^nbits), so recall is tunable
+    with ``tables``/``nbits`` while the join stays linear in bucket load."""
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()["embedding"])
+    cand = None
+    for t in range(tables):
+        sig = hyperplane_signature(dim, nbits, seed=13 + 101 * t)
+        b = embeddings.select(
+            "vec_id", "embedding", sig(F.col("embedding")).alias("bucket")
+        )
+        a = b.select(
+            F.col("bucket"),
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("emb_a"),
+        )
+        c = b.select(
+            F.col("bucket"),
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("emb_b"),
+        )
+        j = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b")).drop("bucket")
+        cand = j if cand is None else cand.unionByName(j)
+    cos = _cos_expr("emb_a", "emb_b")
+    return (
+        cand.dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -58,6 +58,8 @@ def main():
                 "q28_minhash_pairs",
                 "q29_simhash_pairs",
                 "q30_multimodal_features",
+                "q32_ivf_topk",
+                "q33_embedding_near_dup",
             ):
                 pdf = qs[name](spark, f"/root/testdata/{sf}").toPandas()
                 pdf = pdf.sort_values(list(sorted(pdf.columns))).reset_index(drop=True)

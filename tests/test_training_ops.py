@@ -224,3 +224,74 @@ def test_ann_recall_on_clustered_data(spark):
         for qid, g in exact.groupby("query_id")
     ]
     assert sum(recalls) / len(recalls) >= 0.85
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF (coarse k-means lists + nprobe probing + exact re-rank) must
+    recover >= 0.9 of exact top-10 on clustered embeddings."""
+    from osmquadtree_bin_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    dim, nc, per = 32, 40, 50
+    centers = rng.standard_normal((nc, dim))
+    vecs = (centers[np.repeat(np.arange(nc), per)]
+            + 0.25 * rng.standard_normal((nc * per, dim)))
+    e = spark.createDataFrame(
+        [(int(i), vecs[i].tolist()) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    q = e.filter(F.col("vec_id") % 250 == 0).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    exact = cosine_topk(e, q, k=10).toPandas()
+    approx = ivf_topk(e, q, dim, k=10, n_centroids=32, nprobe=6, sample=2000).toPandas()
+    recalls = [
+        len(set(approx[approx.query_id == qid].vec_id) & set(g.vec_id)) / len(g)
+        for qid, g in exact.groupby("query_id")
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_ivf_deterministic(spark):
+    """Same seed + same data -> identical IVF result (q32 contract)."""
+    from osmquadtree_bin_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((400, 16))
+    e = spark.createDataFrame(
+        [(int(i), vecs[i].tolist()) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.concat(F.lit("q"), F.col("vec_id")).alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    a = ivf_topk(e, q, 16, k=5, n_centroids=8, nprobe=2, sample=400).toPandas()
+    b = ivf_topk(e, q, 16, k=5, n_centroids=8, nprobe=2, sample=400).toPandas()
+    key = ["query_id", "rank"]
+    assert a.sort_values(key).reset_index(drop=True)[["query_id", "vec_id", "rank"]].equals(
+        b.sort_values(key).reset_index(drop=True)[["query_id", "vec_id", "rank"]]
+    )
+
+
+def test_embedding_near_dup_pairs(spark):
+    """Planted near-duplicates (tiny noise) must be found; unrelated random
+    vectors must not pair at threshold 0.9."""
+    from osmquadtree_bin_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((50, 24))
+    dups = base[:10] + 0.01 * rng.standard_normal((10, 24))  # ids 100..109 ~ 0..9
+    vecs = np.vstack([base, dups])
+    ids = list(range(50)) + list(range(100, 110))
+    e = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = embedding_near_dup_pairs(e, threshold=0.9, dim=24).toPandas()
+    found = {(int(r.id_a), int(r.id_b)) for _, r in got.iterrows()}
+    expected = {(i, 100 + i) for i in range(10)}
+    assert expected <= found, expected - found
+    # random independent gaussians practically never reach cosine 0.9
+    assert all(b - a == 100 for a, b in found), found

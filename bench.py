@@ -331,7 +331,7 @@ def _write_bench_md(results: dict, efficiency: float) -> None:
         "| round | local[32] rows/sec | notes |",
         "|---|---|---|",
         "| r1 | 322,019 (local[16], 3M docs) | pandas-UDF quadtree Calculate (Arrow round-trip); 4→16 eff 0.23 |",
-        "| r2 | 768,028 (20M docs) | JVM Calculate, JIT-able codegen (hugeMethodLimit), lineage sever, string-free hot table, zstd; 8→32 eff 0.55 = 76% of the box's own 0.72 raw-CPU ceiling |",
+        "| r2 | 1,122,055 (20M docs) | JVM Calculate, JIT-able codegen (hugeMethodLimit), lineage sever, string-free hot table, zstd, codegen'd bbox arm + polygon bbox pre-filter in PIP; 8→32 eff 0.52 vs the box's own 0.72 raw-CPU ceiling (shared-host steal noise ±30% run-to-run) |",
         "",
         "## Why this plan scales at 100 TB",
         "",

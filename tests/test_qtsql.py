@@ -63,3 +63,23 @@ def test_qtsql_plan_has_no_python_eval(spark):
     pdf = _random_bboxes(100)
     plan = with_qt_sql(spark.createDataFrame(pdf))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sever_lineage_preserves_rows_and_schema(spark):
+    """sever_lineage is semantically the identity: same rows, same schema,
+    same column order — only the Catalyst lineage is cut."""
+    from osmquadtree_bin_spark.functions.qtsql import sever_lineage
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0], {"k": "v"}, None), (2, None, [], {}, 7)],
+        "id long, s string, arr array<double>, m map<string,string>, n long",
+    )
+    out = sever_lineage(df, ["id", "n"])
+    assert out.columns == ["s", "arr", "m", "id", "n"]  # severed cols re-appended
+    key = lambda r: str(r)
+    a = sorted(df.select(*out.columns).collect(), key=key)
+    b = sorted(out.collect(), key=key)
+    assert a == b
+    # the Generate barrier is present and survives optimization
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" in plan and "explode" in plan

@@ -186,50 +186,112 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return docs.select(F.col(id_col).alias("id"), _sim(F.col(text_col)).alias("simhash"))
 
 
-def _masks_within(width: int, radius: int) -> list[int]:
-    """All XOR masks of `width` bits with popcount <= radius."""
-    masks = [0]
-    if radius >= 1:
-        masks += [1 << i for i in range(width)]
-    if radius >= 2:
-        masks += [(1 << i) | (1 << j) for i in range(width) for j in range(i)]
-    if radius >= 3:
-        raise ValueError("radius > 2 unsupported (mask expansion would explode)")
-    return masks
+def _split_widths(total: int, parts: int) -> list[int]:
+    """Split `total` bits into `parts` near-equal widths (remainder first)."""
+    base, rem = divmod(total, parts)
+    return [base + (1 if i < rem else 0) for i in range(parts)]
+
+
+def _partenum_config(max_hamming: int) -> tuple[int, int, int]:
+    """(B1 pieces, B2 subblocks-per-piece, k1 per-piece budget) for the
+    two-level pigeonhole. Row amplification per side = B1 * C(B2, k1):
+    k 4-7 → 12×, k 8 → 18×, k 9-11 → 24× (see simhash_near_pairs)."""
+    if max_hamming <= 7:
+        return 4, 3, 1  # pieces 16 bits, sig = 2 subblocks ≈ 10-11 bits
+    if max_hamming == 8:
+        return 3, 4, 2  # pieces 21-22 bits, sig = 2 subblocks ≈ 10-11 bits
+    if max_hamming <= 11:
+        return 4, 4, 2  # pieces 16 bits, sig = 2 subblocks = 8 bits
+    raise ValueError("max_hamming > 11 unsupported (signature keys degenerate)")
+
+
+def _partenum_keys(max_hamming: int) -> list:
+    """One JVM long expression per (piece, combo): the candidate join keys.
+
+    Key layout: (piece_idx * n_combos + combo_idx) << 32 | signature, where
+    the signature is the concatenation of the combo's B2-k1 'clean'
+    subblocks of that piece. Every key is a pure shift/mask expression over
+    the simhash column — whole-stage codegen, no Python."""
+    from itertools import combinations
+
+    b1, b2, k1 = _partenum_config(max_hamming)
+    piece_widths = _split_widths(64, b1)
+    exprs = []
+    tag = 0
+    off_p = 0
+    for pw in piece_widths:
+        sub_w = _split_widths(pw, b2)
+        sub_off = [off_p + sum(sub_w[:j]) for j in range(b2)]
+        for dirty in combinations(range(b2), k1):
+            keep = [j for j in range(b2) if j not in dirty]
+            sig = F.lit(0).cast("long")
+            shift = 0
+            for j in keep:
+                blk = F.shiftrightunsigned(F.col("simhash"), sub_off[j]).bitwiseAND(
+                    F.lit((1 << sub_w[j]) - 1)
+                )
+                sig = sig.bitwiseOR(F.shiftleft(blk, shift))
+                shift += sub_w[j]
+            exprs.append(F.shiftleft(F.lit(tag).cast("long"), 32).bitwiseOR(sig))
+            tag += 1
+        off_p += pw
+    return exprs
 
 
 def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming.
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Exact (candidate
+    generation is lossless; a bit_count verify closes it) at every supported
+    k <= 11.
 
-    Scale-safe banding: the 64-bit hash is split into `bands` pieces that are
-    each >= 16 bits wide (so bucket keys keep >= 2^16 cardinality — a narrow
-    piece would make every band join near-cartesian). By pigeonhole, a pair
-    within hamming k agrees on some piece up to radius r = floor(k / bands)
-    flipped bits; the LEFT side expands each piece key by all XOR masks of
-    popcount <= r (JVM-side explode over a literal mask array), the right
-    side keeps the exact key, and the band equi-join + exact bit_count verify
-    recovers every qualifying pair. r=0 (k < bands) degenerates to the plain
-    exact-band trick; r<=2 covers k <= 3*bands-1 = 11 at the default 4 bands.
-    """
+    * k < bands (default 4): plain banding — the 64-bit hash splits into
+      `bands` pieces >= 16 bits wide; by pigeonhole a qualifying pair agrees
+      exactly on some piece, so candidates come from `bands` equi-joins on
+      wide keys. Amplification `bands`× per side.
+    * k >= bands: two-level partition enumeration (the PartEnum scheme —
+      Arasu et al., VLDB'06): a qualifying pair has some first-level piece
+      with <= k1 = floor(k/B1) flipped bits; within that piece, at least
+      B2-k1 of its B2 subblocks are clean, so the pair shares the key
+      (piece, combo, concat of the combo's subblocks) for at least one of
+      the C(B2, k1) combos. Both sides emit the SAME B1*C(B2,k1) keys (a
+      symmetric JVM-side explode — 12×/18×/24× for k 4-7/8/9-11, vs the
+      137-mask × 4-band ≈ 548× one-sided expansion this replaces), and the
+      candidate join stays a plain equi-join.
+
+    100 TB notes: amplification is bounded and symmetric; signature keys are
+    ~8-11 bits per (piece, combo) tag, so bucket load within one tag is
+    ~n/2^sig — for strongly skewed simhash distributions salt the key with a
+    leading bits of the hash itself, or pre-aggregate identical simhashes
+    (dedup on the hash, re-expand after) since exact duplicates all share
+    every key."""
     if bands < 1 or 64 // bands < 16:
         raise ValueError("bands must keep pieces >= 16 bits (bands <= 4)")
-    width = 64 // bands
-    radius = max_hamming // bands
-    masks = _masks_within(width, radius)
-    mask_arr = F.array(*[F.lit(m) for m in masks])
-    out = None
-    for i in range(bands):
-        band = F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
-            F.lit((1 << width) - 1)
+    if max_hamming < bands:
+        width = 64 // bands
+        out = None
+        for i in range(bands):
+            band = F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            l = sh.select(
+                F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), band.alias("b")
+            )
+            r = sh.select(
+                F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), band.alias("b")
+            )
+            j = l.join(r, "b").filter(F.col("id_a") < F.col("id_b")).drop("b")
+            out = j if out is None else out.unionByName(j)
+    else:
+        keys = _partenum_keys(max_hamming)
+        kdf = sh.select(
+            "id", "simhash", F.explode(F.array(*keys)).alias("b")
         )
-        l = sh.select(
-            F.col("id").alias("id_a"),
-            F.col("simhash").alias("h_a"),
-            F.explode(F.transform(mask_arr, lambda m: band.bitwiseXOR(m))).alias("b"),
+        l = kdf.select(
+            F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "b"
         )
-        r = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), band.alias("b"))
-        j = l.join(r, "b").filter(F.col("id_a") < F.col("id_b")).drop("b")
-        out = j if out is None else out.unionByName(j)
+        r = kdf.select(
+            F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "b"
+        )
+        out = l.join(r, "b").filter(F.col("id_a") < F.col("id_b")).drop("b")
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
         out.dropDuplicates(["id_a", "id_b"])

@@ -191,6 +191,56 @@ def test_simhash_radius_banding_recovers_spread_flips(spark):
     assert simhash_near_pairs(sh, max_hamming=7).count() == 0
 
 
+def test_simhash_partenum_exact_vs_bruteforce(spark):
+    """The two-level partition-enumeration path (k >= 4) must recover
+    EXACTLY the brute-force pair set — planted pairs at hamming 1..11 plus
+    random 63-bit hashes, checked at several k across both configs."""
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 1 << 63, 40, dtype=np.uint64)
+    rows = [(i, int(np.int64(h))) for i, h in enumerate(base)]
+    for j, k in enumerate((1, 3, 4, 5, 8, 9, 10, 11)):
+        m = 0
+        for p in rng.choice(64, size=k, replace=False):
+            m |= 1 << int(p)
+        rows.append((1000 + j, int(np.int64(base[j] ^ np.uint64(m)))))
+    sh = spark.createDataFrame(rows, "id long, simhash long")
+    hmap = dict(rows)
+    for k in (4, 8, 10):
+        got = {
+            (int(r.id_a), int(r.id_b), int(r.hamming))
+            for r in simhash_near_pairs(sh, max_hamming=k).collect()
+        }
+        want = set()
+        ids = sorted(hmap)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                ham = ((hmap[a] ^ hmap[b]) & ((1 << 64) - 1)).bit_count()
+                if ham <= k:
+                    want.add((a, b, ham))
+        assert got == want, f"k={k}: {got ^ want}"
+
+
+def test_simhash_amplification_bounded():
+    """Per-side candidate-key fan-out must stay <= 24x for every supported
+    max_hamming (vs the 548x one-sided mask expansion this replaced), and
+    <= 18x for the common k <= 8 range."""
+    from math import comb
+
+    from osmquadtree_bin_spark.operators.dedup import (
+        _partenum_config,
+        _partenum_keys,
+    )
+
+    for k in range(4, 12):
+        b1, b2, k1 = _partenum_config(k)
+        amp = b1 * comb(b2, k1)
+        assert len(_partenum_keys(k)) == amp
+        assert amp <= 24
+        if k <= 8:
+            assert amp <= 18
+
+
 def test_simhash_bands_keep_wide_pieces():
     """Bucket keys must stay >= 16 bits wide — narrow pieces collapse the
     band self-join into a near-cartesian product at scale."""

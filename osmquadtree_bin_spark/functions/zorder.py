@@ -17,8 +17,16 @@ from pyspark.sql.types import DoubleType
 
 from ..quadtree import COORD_SCALE, lat_to_unit, lon_to_unit
 
-# EXACT mirror of the reference's highway_prios map
+# Mirror of the reference's highway_prios map VALUES
 # (osmquadtree-geometry-features.go:722-770): keys are "<tagkey>_<value>".
+# One documented divergence: the reference's checkPrio strips a '_link'
+# suffix BEFORE the lookup (features.go:774 cutsuffix at :336-343), so its
+# own *_link entries are unreachable and motorway_link resolves to
+# highway_motorway (380) in that code path; the final z_order assembly lives
+# in an external package whose observable behavior is unconfirmed. This
+# engine follows the osm2pgsql/carto convention the table itself encodes:
+# *_link values keep their dedicated (lower) priorities, e.g.
+# highway_motorway_link -> 240.
 Z_ORDER_TABLE = {
     "railway_rail": 440,
     "railway_INT-preserved-ssy": 430,
@@ -94,17 +102,31 @@ def z_order(tags: str = "tags") -> Column:
 def way_area_merc(wkt: pd.Series) -> pd.Series:
     """Shoelace area of the first POLYGON ring in spherical-mercator *unit*
     coords scaled to the reference's pseudo-meters (EPSG:900913 extent).
-    Vectorized pandas str parse + numpy shoelace. Non-polygons → 0.0."""
+    Fully vectorized: one pandas str parse, one flat coordinate array with
+    per-ring segment boundaries, shoelace via segment-rolled products +
+    ``np.add.reduceat`` — no Python loop over rows. Non-polygons → 0.0."""
     out = np.zeros(len(wkt), dtype=np.float64)
     s = wkt.astype("string").fillna("")
-    is_poly = s.str.startswith("POLYGON")
+    is_poly = s.str.startswith("POLYGON").to_numpy(dtype=bool)
     nums = s.str.findall(r"-?\d+")
+    npts = np.array([len(v) // 2 for v in nums], dtype=np.int64)
+    take = is_poly & (npts >= 4)
+    if not take.any():
+        return pd.Series(out)
+    rows = np.nonzero(take)[0]
+    lens = npts[rows]
+    flat = np.fromiter(
+        (int(t) for i in rows for t in nums.iloc[i][: 2 * npts[i]]),
+        dtype=np.int64,
+    )
     world = 2 * 20037508.342789244  # mercator extent in meters
-    for i, (poly, lst) in enumerate(zip(is_poly, nums)):
-        if not poly or not isinstance(lst, list) or len(lst) < 8:
-            continue
-        arr = np.asarray(lst, dtype=np.int64)
-        xs = lon_to_unit(arr[0::2]) * world
-        ys = (1.0 - lat_to_unit(arr[1::2])) * world  # north-up
-        out[i] = 0.5 * abs(np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1)))
+    xs = lon_to_unit(flat[0::2]) * world
+    ys = (1.0 - lat_to_unit(flat[1::2])) * world  # north-up
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    ends = starts + lens - 1
+    # roll within each ring: next vertex is i+1, wrapping last -> first
+    nxt = np.arange(1, len(xs) + 1)
+    nxt[ends] = starts
+    terms = xs * ys[nxt] - ys * xs[nxt]
+    out[rows] = 0.5 * np.abs(np.add.reduceat(terms, starts))
     return pd.Series(out)

@@ -307,7 +307,16 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for given candidate (id_a, id_b) pairs —
-    the verify stage after LSH candidates."""
+    the verify stage after LSH candidates. Gram arrays are built only for
+    docs that appear in a candidate pair (semi-join first): at 100 TB the
+    candidate set is a tiny fraction of the corpus and gram construction is
+    the expensive part."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs = docs.join(cand_ids, id_col, "left_semi")
     grams = docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(

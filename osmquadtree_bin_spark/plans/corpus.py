@@ -11,12 +11,19 @@ dialect shims and executes as Spark SQL over the registered virtual tables.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.dialect import translate
 
-MML_PATH = "/root/reference/project-oqt.mml"
+# Public CartoCSS project fixture (the reference's query corpus source). A
+# copy lives in tests/fixtures/; SPARK_GRAFT_MML_PATH overrides.
+MML_PATH = os.environ.get(
+    "SPARK_GRAFT_MML_PATH",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "tests", "fixtures", "project-oqt.mml"),
+)
 
 
 def load_corpus(path: str = MML_PATH) -> dict[str, str]:

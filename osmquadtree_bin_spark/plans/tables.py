@@ -14,13 +14,21 @@ unused ones per query) → roads as a Spark SQL view over them.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.dialect import translate
 from ..functions.zorder import way_area_merc, z_order
 
-STYLE_PATH = "/root/reference/extrastyle.json"
+# Public style-vocabulary fixture (jharris2268/osmquadtree-bin ships it as
+# extrastyle.json). A copy lives in tests/fixtures/ so the repo is
+# self-contained; SPARK_GRAFT_STYLE_PATH overrides.
+STYLE_PATH = os.environ.get(
+    "SPARK_GRAFT_STYLE_PATH",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "tests", "fixtures", "extrastyle.json"),
+)
 
 # Verbatim from osmquadtree-geometry.go:889, with one fix: the reference's
 # polygon branch omits `covered` (12 vs 13 cols) and its lenient sqlselect

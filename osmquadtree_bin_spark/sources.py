@@ -104,25 +104,63 @@ def _jsonable(v):
         return str(v)
 
 
+def _split_depth0(body: str) -> list[str]:
+    """Split on commas at paren depth 0 (separates MULTI* members / rings)."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts]
+
+
 def _wkt_to_geojson(wkt: str) -> dict | None:
     wkt = wkt.strip()
 
     def coords(body: str):
         return [
             [int(p.split()[0]) / COORD_SCALE, int(p.split()[1]) / COORD_SCALE]
-            for p in body.split(",")
+            for p in body.strip("() ").split(",")
         ]
 
+    def body_of(w: str) -> str:
+        return w[w.index("(") + 1 : w.rindex(")")]
+
+    def rings(poly_body: str):  # '(r1),(r2)' -> [coords(r1), coords(r2)]
+        return [coords(r) for r in _split_depth0(poly_body)]
+
+    # MULTI* first (prefix-of tests would otherwise route them wrong)
+    if wkt.startswith("MULTIPOINT"):
+        return {
+            "type": "MultiPoint",
+            "coordinates": [coords(p)[0] for p in _split_depth0(body_of(wkt))],
+        }
+    if wkt.startswith("MULTILINESTRING"):
+        return {
+            "type": "MultiLineString",
+            "coordinates": [coords(l) for l in _split_depth0(body_of(wkt))],
+        }
+    if wkt.startswith("MULTIPOLYGON"):
+        return {
+            "type": "MultiPolygon",
+            "coordinates": [
+                rings(p.strip()[1:-1]) for p in _split_depth0(body_of(wkt))
+            ],
+        }
     if wkt.startswith("POINT"):
-        body = wkt[wkt.index("(") + 1 : wkt.rindex(")")]
-        x, y = body.split()
+        x, y = body_of(wkt).split()
         return {"type": "Point", "coordinates": [int(x) / COORD_SCALE, int(y) / COORD_SCALE]}
     if wkt.startswith("LINESTRING"):
-        body = wkt[wkt.index("(") + 1 : wkt.rindex(")")]
-        return {"type": "LineString", "coordinates": coords(body)}
+        return {"type": "LineString", "coordinates": coords(body_of(wkt))}
     if wkt.startswith("POLYGON"):
-        body = wkt[wkt.index("((") + 2 : wkt.rindex("))")]
-        return {"type": "Polygon", "coordinates": [coords(body)]}
+        return {"type": "Polygon", "coordinates": rings(body_of(wkt))}
     return None
 
 

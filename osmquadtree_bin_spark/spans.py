@@ -44,7 +44,15 @@ def explode_geoms(docs: DataFrame) -> DataFrame:
     # interpreted, so fewer passes matter)
     # guard size<2: sequence(0, -1) would DESCEND to [0, -1] and the index
     # would go out of bounds (ANSI error) on coordinate-less WKT
-    nums = "filter(split(wkt, '[^-0-9]+'), v -> v != '')"
+    # float guard: the tokenizer assumes the fixed-point int convention
+    # (reference quadtree.ToInt) — a decimal coordinate would silently shred
+    # into wrong values ('1.5' -> 1, 5), so fail loudly instead
+    nums = (
+        "filter(split(if(contains(wkt, '.'), raise_error(concat("
+        "'float WKT coordinates unsupported — fixed-point int degrees x 1e7 "
+        "expected (reference quadtree.ToInt convention): ', wkt)), wkt), "
+        "'[^-0-9]+'), v -> v != '')"
+    )
     _seq = "sequence(0, int(size(_nums)/2) - 1)"
     xs = (f"if(size(_nums) < 2, cast(array() as array<bigint>), "
           f"transform({_seq}, i -> cast(_nums[i*2] as bigint)))")

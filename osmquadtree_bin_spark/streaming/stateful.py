@@ -11,8 +11,10 @@ engine this dissolves into the touched-tile join (``update.apply_diff``);
 this module is the long-running streaming rendition where per-tile state
 must live ACROSS micro-batches.
 
-State per tile: (n_rows, n_states, first_state, last_state). Output: one
-row per sealed block. Arrow-batched per group — no per-row Python.
+State per tile: (n_rows, first_state, last_state) — bounded regardless of
+how many replication states pass through (a distinct-state count would need
+unbounded per-tile memory; first/last + row count carry the lineage the
+ledger needs). Output: one row per sealed block. Arrow-batched per group — no per-row Python.
 
 Timeout mode: a continuously-running deployment passes ``timeout_ms`` so a
 tile whose marker never arrives seals with ``closed_by='timeout'`` after the
@@ -29,10 +31,10 @@ import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
-    "tile_idx long, n_rows long, n_states long, first_state long, "
+    "tile_idx long, n_rows long, first_state long, "
     "last_state long, closed_by string"
 )
-STATE_SCHEMA = "n_rows long, n_states long, first_state long, last_state long"
+STATE_SCHEMA = "n_rows long, first_state long, last_state long"
 _OUT_COLS = [c.split()[0] for c in OUTPUT_SCHEMA.split(", ")]
 
 
@@ -43,22 +45,21 @@ def make_pending_block(timeout_ms: int | None = None):
     def pending_block(key, pdf_iter, state: GroupState):
         (tile_idx,) = key
         if state.hasTimedOut:
-            n_rows, n_states, first_state, last_state = state.get
+            n_rows, first_state, last_state = state.get
             state.remove()
             yield pd.DataFrame(
-                [[tile_idx, n_rows, n_states, first_state, last_state, "timeout"]],
+                [[tile_idx, n_rows, first_state, last_state, "timeout"]],
                 columns=_OUT_COLS,
             )
             return
 
-        n_rows, n_states, first_state, last_state = (
-            state.get if state.exists else (0, 0, None, None)
+        n_rows, first_state, last_state = (
+            state.get if state.exists else (0, None, None)
         )
         seal = False
         for pdf in pdf_iter:
             n_rows += int(len(pdf))
             states = pdf["state"]
-            n_states += int(states.nunique())
             lo, hi = int(states.min()), int(states.max())
             first_state = lo if first_state is None else min(first_state, lo)
             last_state = hi if last_state is None else max(last_state, hi)
@@ -67,11 +68,11 @@ def make_pending_block(timeout_ms: int | None = None):
         if seal:
             state.remove()
             yield pd.DataFrame(
-                [[tile_idx, n_rows, n_states, first_state, last_state, "final"]],
+                [[tile_idx, n_rows, first_state, last_state, "final"]],
                 columns=_OUT_COLS,
             )
         else:
-            state.update((n_rows, n_states, first_state, last_state))
+            state.update((n_rows, first_state, last_state))
             if timeout_ms is not None:
                 state.setTimeoutDuration(timeout_ms)
 

@@ -165,3 +165,66 @@ def test_corpus_query_on_store_slice(spark, docs, tmp_path):
         (int(-0.45e7), int(51.2e7), int(0.25e7), int(51.8e7)),
     )
     assert df.count() >= 0
+
+
+def test_geojson_multi_geometries():
+    from osmquadtree_bin_spark.sources import _wkt_to_geojson
+
+    mp = _wkt_to_geojson("MULTIPOINT((10000000 20000000), (30000000 -40000000))")
+    assert mp == {"type": "MultiPoint", "coordinates": [[1.0, 2.0], [3.0, -4.0]]}
+    ml = _wkt_to_geojson(
+        "MULTILINESTRING((0 0, 10000000 0), (0 10000000, 10000000 10000000))"
+    )
+    assert ml["type"] == "MultiLineString"
+    assert ml["coordinates"] == [[[0.0, 0.0], [1.0, 0.0]], [[0.0, 1.0], [1.0, 1.0]]]
+    mpoly = _wkt_to_geojson(
+        "MULTIPOLYGON(((0 0, 10000000 0, 0 10000000, 0 0)),"
+        "((20000000 20000000, 30000000 20000000, 20000000 30000000, 20000000 20000000)))"
+    )
+    assert mpoly["type"] == "MultiPolygon"
+    assert len(mpoly["coordinates"]) == 2
+    assert mpoly["coordinates"][0] == [[[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 0.0]]]
+    # polygon with a hole: two rings
+    poly = _wkt_to_geojson(
+        "POLYGON((0 0, 40000000 0, 40000000 40000000, 0 40000000, 0 0),"
+        "(10000000 10000000, 20000000 10000000, 10000000 20000000, 10000000 10000000))"
+    )
+    assert poly["type"] == "Polygon" and len(poly["coordinates"]) == 2
+
+
+def test_way_area_matches_scalar_shoelace(spark):
+    """The flat reduceat shoelace must equal a per-row scalar reference."""
+    import numpy as np
+    from osmquadtree_bin_spark.functions.zorder import way_area_merc
+    from osmquadtree_bin_spark.quadtree import lat_to_unit, lon_to_unit
+
+    wkts = [
+        "POLYGON((0 0, 10000000 0, 10000000 10000000, 0 10000000, 0 0))",
+        "POLYGON((-300000 514000000, 2500000 514000000, 2500000 518000000, -300000 514000000))",
+        "LINESTRING(0 0, 10000000 0)",  # non-polygon -> 0
+        "POINT(5 5)",
+        "POLYGON((100 100, 200 100, 200 200, 100 200, 100 100))",
+    ]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(wkts)], "i long, wkt string")
+    got = (
+        df.select("i", way_area_merc("wkt").alias("a"))
+        .toPandas().set_index("i")["a"]
+    )
+    world = 2 * 20037508.342789244
+    import re
+    for i, w in enumerate(wkts):
+        if not w.startswith("POLYGON"):
+            assert got[i] == 0.0
+            continue
+        arr = np.asarray([int(t) for t in re.findall(r"-?\d+", w)], dtype=np.int64)
+        xs = lon_to_unit(arr[0::2]) * world
+        ys = (1.0 - lat_to_unit(arr[1::2])) * world
+        # defined summation order: termwise cross products, strict
+        # left-to-right accumulation (what reduceat does) — NOT np.dot,
+        # whose BLAS FMA rounding is platform-dependent
+        acc = 0.0
+        n = len(xs)
+        for j in range(n):
+            acc += xs[j] * ys[(j + 1) % n] - ys[j] * xs[(j + 1) % n]
+        want = 0.5 * abs(acc)
+        assert got[i] == want, f"row {i}"

@@ -82,3 +82,17 @@ def test_multi_geometry_routing_and_bbox(spark):
     assert (got["doc_2"].minx, got["doc_2"].maxy) == (0, 14)
     assert got["doc_2"].npoints == 8
     assert got["doc_0"].tags == {"k": "v"}
+
+
+def test_float_wkt_fails_loudly(spark):
+    """Decimal coordinates would silently shred under the fixed-point int
+    tokenizer ('1.5' -> 1, 5) — the parse must raise instead."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs = spark.createDataFrame(
+        [("doc_00000001", [("geom", "POINT(1.5 2.5)|highway=primary", "", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    with pytest.raises(SparkRuntimeException, match="float WKT"):
+        explode_geoms(docs).collect()

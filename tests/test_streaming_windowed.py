@@ -188,7 +188,7 @@ def test_pending_block_timeout_branch():
     class FakeState:
         hasTimedOut = True
         exists = True
-        get = (5, 2, 10, 12)
+        get = (5, 10, 12)
         removed = False
 
         def remove(self):

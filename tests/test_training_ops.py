@@ -153,6 +153,57 @@ def test_fingerprint_stability_and_locality(spark, documents):
     assert (fp1 == fp3).mean() >= 0.8
 
 
+def test_fingerprint_matches_scalar_reference(spark):
+    """The batch-vectorized kernel (concat + reduceat) must equal a plain
+    per-doc scalar FNV / rolling-min reference, incl. empty / short / long
+    docs mixed in one Arrow batch."""
+    texts = [
+        "", "a", "short", "exactly8", "a bit longer than the window",
+        "the quick brown fox jumps over the lazy dog " * 5,
+        "unicode éèê and more text beyond the window",
+    ]
+    window = 8
+
+    def scalar_fp(t: str) -> int:
+        data = t.encode("utf-8")
+        base = 1099511628211
+        m = (1 << 64) - 1
+        if len(data) < window:
+            h = 14695981039346656037
+            for byte in data:
+                h = ((h ^ byte) * base) & m
+            return h - (1 << 64) if h >= (1 << 63) else h
+        best = None
+        for s in range(len(data) - window + 1):
+            h = 0
+            for byte in data[s:s + window]:
+                h = (h * base + byte) & m
+            best = h if best is None else min(best, h)
+        return best - (1 << 64) if best >= (1 << 63) else best
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = fingerprint(df).toPandas().set_index("doc_id")["fingerprint"]
+    for i, t in enumerate(texts):
+        assert int(got[i]) == scalar_fp(t), f"doc {i}"
+
+
+def test_ngram_jaccard_semi_join_prunes(spark, documents):
+    """Gram construction must touch only candidate-pair docs: with one pair
+    the exact-jaccard verify still works and docs outside the pair don't
+    affect the result (pruned by the semi-join)."""
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    full = ngram_jaccard_pairs(
+        documents.select("doc_id", "text"), pairs, n=3
+    ).collect()
+    pruned = ngram_jaccard_pairs(
+        documents.filter(F.col("doc_id") < 2).select("doc_id", "text"), pairs, n=3
+    ).collect()
+    assert len(full) == len(pruned) == 1
+    assert full[0]["jaccard"] == pruned[0]["jaccard"]
+
+
 def test_multimodal_plumbing(spark, docs):
     media = synth_media(spark, docs)
     n = media.count()

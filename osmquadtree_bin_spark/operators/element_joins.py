@@ -45,6 +45,44 @@ def way_qts(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     return with_qt_sql(bbox).select("id", "qt")
 
 
+def way_wkt(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Way-geometry assembly: ordered member-node coordinates → WKT — the
+    analogue of ``geometry.GenerateGeometries``
+    (``/root/reference/osmquadtree-geometry.go:811``): a way whose ref list
+    closes (first == last, >= 4 points) becomes a POLYGON ring, otherwise a
+    LINESTRING; fixed-point int coords (the engine's WKT convention).
+
+    Spark shape: posexplode refs → equi-join on node id (the one big
+    shuffle, same as way_qts) → groupBy way → array_sort(collect_list) by
+    position → pure JVM string assembly. Refs pointing at missing nodes are
+    dropped from the sequence (the reference skips unresolvable members);
+    ways with < 2 resolved points yield wkt = NULL."""
+    refs = ways.select("id", F.posexplode("refs").alias("pos", "ref"))
+    joined = refs.join(
+        nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref"
+    )
+    pts = joined.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))),
+            lambda s: F.concat_ws(
+                " ", s["lon"].cast("string"), s["lat"].cast("string")
+            ),
+        ).alias("coords")
+    )
+    n = F.size("coords")
+    closed = (n >= 4) & (F.element_at("coords", 1) == F.element_at("coords", -1))
+    body = F.concat_ws(", ", F.col("coords"))
+    wkt = (
+        F.when(n < 2, F.lit(None).cast("string"))
+        .when(closed, F.concat(F.lit("POLYGON(("), body, F.lit("))")))
+        .otherwise(F.concat(F.lit("LINESTRING("), body, F.lit(")")))
+    )
+    # left join back so refs-but-no-resolved-node ways still appear (null)
+    return ways.select("id").join(
+        pts.select("id", wkt.alias("wkt"), n.alias("npoints")), "id", "left"
+    ).select("id", "wkt", F.coalesce("npoints", F.lit(0)).alias("npoints"))
+
+
 def node_qts_with_way_backprop(nodes: DataFrame, ways: DataFrame, wqts: DataFrame) -> DataFrame:
     """J3: node qt = LCA(own point qt, qts of all ways using it)."""
     own = node_qts(nodes)

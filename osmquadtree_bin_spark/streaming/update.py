@@ -52,6 +52,27 @@ def round_to_day(ts_col, grace_seconds: int = 7200):
     return F.when(secs_past == 0, day).otherwise(F.date_add(day, 1).cast("timestamp"))
 
 
+def merge_newest(base: DataFrame, diff: DataFrame, version_col: str = "version") -> DataFrame:
+    """J6 newest-wins merge: base rows carry implicit version 0, diff rows
+    their ``version_col``; highest version per id wins, ``changetype =
+    'delete'`` drops the row (T5). Shared by the incremental ``apply_diff``
+    (touched tiles only) and the full ``rebase_store`` (whole table)."""
+    base_v = base.withColumn("_v", F.lit(0)).withColumn("_ct", F.lit("base"))
+    diff_v = (
+        diff.withColumn("_v", F.col(version_col).cast("long"))
+        .withColumn("_ct", F.col("changetype"))
+        .drop(version_col, "changetype")
+    )
+    merged = base_v.unionByName(diff_v, allowMissingColumns=True)
+    w = Window.partitionBy("id").orderBy(F.col("_v").desc())
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("_ct") != "delete")
+        .drop("_rn", "_v", "_ct")
+    )
+
+
 class TiledStore:
     """A tiled element table + its state/lineage ledger on disk."""
 
@@ -123,22 +144,7 @@ class TiledStore:
             for r in base.groupBy("tile_idx").agg(F.count("*").alias("n")).collect()
         }
 
-        base_v = base.withColumn("_v", F.lit(0)).withColumn(
-            "_ct", F.lit("base")
-        )
-        diff_v = (
-            diff.withColumn("_v", F.col(version_col).cast("long"))
-            .withColumn("_ct", F.col("changetype"))
-            .drop(version_col, "changetype")
-        )
-        merged = base_v.unionByName(diff_v, allowMissingColumns=True)
-        w = Window.partitionBy("id").orderBy(F.col("_v").desc())
-        newest = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .filter(F.col("_ct") != "delete")  # T5: deletes drop the row
-            .drop("_rn", "_v", "_ct")
-        )
+        newest = merge_newest(base, diff, version_col)  # T5: deletes drop
 
         # materialize BEFORE the overwrite: newest reads the very partitions
         # the write below replaces, so a lazy re-evaluation would see them
@@ -190,6 +196,42 @@ class TiledStore:
         self.spark.createDataFrame(rows, LEDGER_SCHEMA).write.mode("append").parquet(
             self.ledger_path
         )
+
+    # ------------------------------------------------------------- rebase
+    def rebase(
+        self,
+        diff: DataFrame,
+        out_root: str,
+        target: int = 8000,
+        minimum: int = 4000,
+        version_col: str = "version",
+    ):
+        """Full re-tile on merged base+diffs — the ``osmquadtree-rebase.go``
+        job shape, vs ``apply_diff`` which keeps the existing grouping and
+        rewrites only touched partitions. The merged element set gets a
+        FRESH count tree / group walk / assignment (groups re-balance after
+        heavy churn), written as a new tiled store at ``out_root``.
+
+        Returns (new_store, counts_pdf, groups_pdf)."""
+        import numpy as np
+
+        from ..tiling import assign_tiles, count_tree, find_groups
+
+        merged = merge_newest(
+            self.read().drop("tile_idx", "tile_qt"), diff, version_col
+        )
+        n = merged.count()
+        counts = count_tree(merged, n_rows_hint=n)
+        groups = find_groups(
+            counts["cell"].to_numpy(np.int64),
+            counts["cnt"].to_numpy(np.int64),
+            target,
+            minimum,
+        )
+        assigned = assign_tiles(merged, groups)
+        out = TiledStore(self.spark, out_root)
+        out.write_initial(assigned)
+        return out, counts, groups
 
     # ---------------------------------------------------------- catch-up T1
     def catch_up(self, diffs_by_state: dict[int, DataFrame]) -> list[int]:

@@ -178,3 +178,41 @@ def test_replication_url_and_state_parse():
     plan = plan_catch_up("p", 10, 13)
     assert [s for s, _ in plan] == [11, 12, 13]
     assert plan[0][1] == "p/000/000/011"
+
+
+def test_rebase_reproduces_fresh_tiling_on_merged_input(spark, store, tmp_path):
+    """Rebase (merged base+diffs -> re-tile from scratch,
+    osmquadtree-rebase.go shape) must equal running the prepare pipeline
+    directly on the merged element set: same groups, same per-tile contents."""
+    st, assigned, _ = store
+    # churn: 5 modified (version wins), 3 deleted, 4 moved to a new location
+    mod = _mk_diff(spark, assigned, "modify", version=1, n=5)
+    dele = (
+        assigned.orderBy(F.col("id").desc()).limit(3)
+        .withColumn("changetype", F.lit("delete")).withColumn("version", F.lit(1))
+    )
+    moved = (
+        assigned.orderBy("id").limit(9).orderBy(F.col("id").desc()).limit(4)
+        .withColumn("qt", F.lit(0).cast("long"))  # forced to root cell
+        .withColumn("changetype", F.lit("modify")).withColumn("version", F.lit(2))
+    )
+    diff = mod.unionByName(dele).unionByName(moved)
+
+    out, counts, groups = st.rebase(diff, str(tmp_path / "rebased"), 200, 100)
+
+    # independent expectation: merge in-memory, re-run the tiling phases
+    from osmquadtree_bin_spark.streaming.update import merge_newest
+    from osmquadtree_bin_spark.tiling import assign_tiles, count_tree, find_groups
+
+    merged = merge_newest(st.read().drop("tile_idx"), diff)
+    c2 = count_tree(merged)
+    g2 = find_groups(
+        c2["cell"].to_numpy(np.int64), c2["cnt"].to_numpy(np.int64), 200, 100
+    )
+    assert groups.equals(g2)
+    want = assign_tiles(merged, g2)
+    got_rows = {(r["id"], r["tile_idx"]) for r in out.read().collect()}
+    want_rows = {(r["id"], r["tile_idx"]) for r in want.collect()}
+    assert got_rows == want_rows
+    # the moved elements live in the root-ancestor group now, and deletes are gone
+    assert out.read().count() == assigned.count() - 3

@@ -181,3 +181,35 @@ def test_relation_qts_edge_cases(spark):
     assert rq.loc[n_rels - 1] == 0
     # ordinary relations resolve to a valid key
     assert (rq.drop([n_rels - 3, n_rels - 2, n_rels - 1]) >= 0).all()
+
+
+def test_way_wkt_assembly(spark):
+    """Ordered coord assembly (geometry.GenerateGeometries analogue):
+    closed ring -> POLYGON, open -> LINESTRING, missing refs skipped,
+    under-2-point ways -> NULL wkt; member order preserved exactly."""
+    from osmquadtree_bin_spark.operators.element_joins import way_wkt
+
+    nodes = spark.createDataFrame(
+        [(1, 10, 20), (2, 30, 20), (3, 30, 40), (4, 10, 40)],
+        "id long, lon long, lat long",
+    )
+    ways = spark.createDataFrame(
+        [
+            (100, [1, 2, 3, 4, 1]),      # closed ring -> POLYGON
+            (101, [4, 2, 3]),            # open -> LINESTRING (order kept)
+            (102, [1, 999, 3]),          # missing ref dropped -> 2-pt line
+            (103, [2]),                  # 1 point -> NULL
+            (104, [999, 998]),           # nothing resolves -> NULL, npoints 0
+        ],
+        "id long, refs array<long>",
+    )
+    got = {r["id"]: (r["wkt"], r["npoints"]) for r in way_wkt(ways, nodes).collect()}
+    assert got[100] == ("POLYGON((10 20, 30 20, 30 40, 10 40, 10 20))", 5)
+    assert got[101] == ("LINESTRING(10 40, 30 20, 30 40)", 3)
+    assert got[102] == ("LINESTRING(10 20, 30 40)", 2)
+    assert got[103] == (None, 1)
+    assert got[104] == (None, 0)
+    # assembled WKT round-trips through the span bbox parser convention
+    import re
+    toks = [int(t) for t in re.split(r"[^-0-9]+", got[100][0]) if t]
+    assert min(toks[0::2]) == 10 and max(toks[1::2]) == 40

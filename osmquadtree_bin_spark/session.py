@@ -19,7 +19,11 @@ def get_spark(
     app: str = "osmquadtree-bin-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
+    """``extra_conf`` lets callers (e.g. bench.py's local-cluster scaling
+    mode) set executor memory / JVM options; in plain local mode executors
+    live in the driver JVM and those keys are inert."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
@@ -59,4 +63,6 @@ def get_spark(
             "-Djava.io.tmpdir=/tmp -XX:+UseParallelGC",
         )
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -154,6 +154,25 @@ def scaling_job(cpus: int, mode: str = "local") -> dict:
     # models honestly on one box.
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     tmp = tempfile.mkdtemp(prefix=f"oqt_scaling_{cpus}_", dir=shm)
+    try:
+        return _scaling_body(spark, tmp, cpus)
+    finally:  # a crashed run must not leak multi-GB tmpfs dirs
+        spark.stop()
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _scaling_body(spark, tmp: str, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from osmquadtree_bin_spark.datagen import gen_docs_dist, gen_regions
+    from osmquadtree_bin_spark.operators.pip_join import pip_join
+    from osmquadtree_bin_spark.spans import explode_geoms
+    from osmquadtree_bin_spark.tiling import assign_tiles, count_tree, find_groups
+
+    import numpy as np
+
     gen_docs_dist(spark, n_docs=N_DOCS_SCALING, seed=42, partitions=cpus * 4).write.mode(
         "overwrite"
     ).parquet(f"{tmp}/docs")
@@ -177,16 +196,27 @@ def scaling_job(cpus: int, mode: str = "local") -> dict:
         # (doc seq, span_idx) — doc_id is reconstructed with format_string
         # only where an output needs it. At planet scale the doc_id string
         # is ~1/4 of the bytes moved per shuffle/scan.
+        # storage downcasts (the reference's convention: int32 fixed-point
+        # coords): bbox int64→int32 and geom_type→tinyint cut ~30% of the
+        # bytes every downstream scan/shuffle/write moves. ANSI mode makes
+        # the cast loud if a coordinate ever exceeded 32 bits.
         el_path = f"{tmp}/elements_{run_idx}"
         timed(
             "parse_qt",
             lambda: explode_geoms(docs)
             .select(
-                "id", "qt", "minx", "miny", "maxx", "maxy", "geom_type",
+                "id",
+                "qt",
+                F.col("minx").cast("int").alias("minx"),
+                F.col("miny").cast("int").alias("miny"),
+                F.col("maxx").cast("int").alias("maxx"),
+                F.col("maxy").cast("int").alias("maxy"),
+                F.col("geom_type").cast("tinyint").alias("geom_type"),
             )
             .write.mode("overwrite")
             .parquet(el_path),
         )
+        stages["parse_qt_out_mb"] = round(_du(el_path) / 1e6, 1)
         slim = spark.read.parquet(el_path)
         # derive lineage columns from the packed id (bits: type >= 59,
         # low 40 = seq*64 + span_idx) — JVM exprs, no extra storage
@@ -210,13 +240,19 @@ def scaling_job(cpus: int, mode: str = "local") -> dict:
         # tile_qt-free: tile_qt is constant per tile_idx and recoverable from
         # the broadcast groups frame at read time, so carrying it through the
         # shuffle+write is 8 wasted bytes/row on the bandwidth-bound stage
-        assigned = assign_tiles(slim, groups).drop("tile_qt")
+        assigned = assign_tiles(slim, groups).drop("tile_qt").withColumn(
+            "tile_idx", F.col("tile_idx").cast("int")
+        )
         timed(
             "assign_write_tiled",
             lambda: assigned.repartition(F.col("tile_idx"))
             .sortWithinPartitions("tile_idx", "id")
             .write.mode("overwrite")
             .parquet(f"{tmp}/tiled_{run_idx}"),
+        )
+        stages["tiled_out_mb"] = round(_du(f"{tmp}/tiled_{run_idx}") / 1e6, 1)
+        stages["tiled_write_mb_per_s"] = round(
+            stages["tiled_out_mb"] / stages["assign_write_tiled"], 1
         )
         n_assigned = n_elements
         pip = pip_join(elements, regions)
@@ -230,11 +266,6 @@ def scaling_job(cpus: int, mode: str = "local") -> dict:
     t0 = time.perf_counter()
     stages, rows, n_elements = run_pipeline(1)
     wall = time.perf_counter() - t0
-
-    spark.stop()
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
     return {
         "cpus": cpus,
         "rows": rows,
@@ -257,7 +288,48 @@ def _sub_json(args: list[str]) -> dict:
     return json.loads(line)
 
 
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            total += os.path.getsize(os.path.join(root, fn))
+    return total
+
+
 # ------------------------------------------------------------- calibration
+def calibrate_tmpfs(streams: int = 4, mb: int = 2048) -> dict:
+    """Raw tmpfs (page-cache/memcpy) write bandwidth — the hardware ceiling
+    the tiled-write stage competes with. Measured single-stream and with
+    `streams` concurrent writers (the write stage runs one writer per
+    shuffle partition task)."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="oqt_bw_", dir="/dev/shm")
+    try:
+        def one(tag: str, count: int) -> subprocess.Popen:
+            return subprocess.Popen(
+                ["dd", f"if=/dev/zero", f"of={base}/{tag}", "bs=1M",
+                 f"count={count}"],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+
+        t0 = time.perf_counter()
+        one("s", mb).wait()
+        single = mb / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        procs = [one(f"m{i}", mb // streams) for i in range(streams)]
+        for p in procs:
+            p.wait()
+        multi = mb / (time.perf_counter() - t0)
+        return {
+            "single_stream_mb_s": round(single, 1),
+            f"{streams}_stream_mb_s": round(multi, 1),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def calibrate_raw_cpu(n: int, n4: int) -> dict:
     """What this box can physically deliver with NO engine in it: P
     independent CPython processes each running the same register-only
@@ -333,13 +405,16 @@ def run_scaling() -> dict:
         return round(r[n4]["rows_per_sec"] / (factor * r[n]["rows_per_sec"]), 4)
 
     raw = calibrate_raw_cpu(n, n4)
-    jvm_runs = {c: _sub_json(["--calibrate-jvm", str(c)]) for c in (n, n4)}
-    jvm_eff = round(jvm_runs[n]["wall_sec"] / (factor * jvm_runs[n4]["wall_sec"]), 4)
+    jvm_runs = {str(c): _sub_json(["--calibrate-jvm", str(c)]) for c in (n, n4)}
+    jvm_eff = round(
+        jvm_runs[str(n)]["wall_sec"] / (factor * jvm_runs[str(n4)]["wall_sec"]), 4
+    )
 
     record = {
         "date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
         "n_docs": N_DOCS_SCALING,
         "levels": [n, n4],
+        "calib_tmpfs": calibrate_tmpfs(),
         "exec_cores": EXEC_CORES,
         "cluster": {str(c): results["cluster"][c] for c in (n, n4)},
         "local": {str(c): results["local"][c] for c in (n, n4)},
@@ -393,9 +468,28 @@ def _write_bench_md(record: dict, history: list[dict]) -> None:
     def stage_rows(rn: dict, r4: dict) -> list[str]:
         out = []
         for key in rn.get("stages", {}):
+            if key.endswith("_mb") or key.endswith("_mb_per_s"):
+                continue
             a, b = rn["stages"][key], r4["stages"].get(key, float("nan"))
             eff = round(a / b / factor, 2) if b else float("nan")
             out.append(f"| {key} | {a} | {b} | {eff} |")
+        return out
+
+    def byte_rows() -> list[str]:
+        out = []
+        for mode, label_n, label_4, rn, r4 in (
+            ("executor", f"{n // ec}×{ec}", f"{n4 // ec}×{ec}", rc_n, rc_4),
+            ("thread", f"local[{n}]", f"local[{n4}]", rl_n, rl_4),
+        ):
+            s_n, s_4 = rn.get("stages", {}), r4.get("stages", {})
+            if "tiled_out_mb" not in s_n:
+                continue
+            out.append(
+                f"| {mode} | {s_n.get('parse_qt_out_mb', '—')} | "
+                f"{s_n.get('tiled_out_mb', '—')} | "
+                f"{s_n.get('tiled_write_mb_per_s', '—')} ({label_n}) | "
+                f"{s_4.get('tiled_write_mb_per_s', '—')} ({label_4}) |"
+            )
         return out
 
     lines = [
@@ -454,6 +548,28 @@ def _write_bench_md(record: dict, history: list[dict]) -> None:
         f"| stage | local[{n}] | local[{n4}] | efficiency |",
         "|---|---|---|---|",
         *stage_rows(rl_n, rl_4),
+        "",
+        "## Write-path byte budget",
+        "",
+        "The tiled shuffle-write is the bandwidth-bound stage; the stored "
+        "tables are string-free, tile_qt-free, with int32 fixed-point bbox "
+        "and int8 geom_type (the reference's storage convention). Measured "
+        "bytes (zstd parquet on tmpfs) and effective write rate:",
+        "",
+        "| mode | elements (MB) | tiled (MB) | write MB/s @N | write MB/s @4N |",
+        "|---|---|---|---|---|",
+        *byte_rows(),
+        "",
+        (
+            "Raw tmpfs (memcpy) bandwidth measured by this run: "
+            f"**{record.get('calib_tmpfs', {}).get('single_stream_mb_s', '—')} MB/s** "
+            "single stream, "
+            f"**{record.get('calib_tmpfs', {}).get('4_stream_mb_s', '—')} MB/s** "
+            "aggregate with 4 concurrent writers — the hardware ceiling the "
+            "write stage's parallel partition writers share. (The write "
+            "stage's MB/s above excludes the shuffle read + sort + zstd "
+            "encode happening in the same wall window.)"
+        ),
         "",
         f"## Calibration: what this box can physically deliver at {n}→{n4}",
         "",

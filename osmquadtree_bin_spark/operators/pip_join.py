@@ -150,8 +150,11 @@ def pip_join(elements: DataFrame, regions: DataFrame) -> DataFrame:
         # into it — the same exponential plan-size bomb as tiling._assign.
         _pip_all = _pip_all.asNondeterministic()
 
-        cx = ((F.col("minx") + F.col("maxx")) / 2).cast("long")
-        cy = ((F.col("miny") + F.col("maxy")) / 2).cast("long")
+        # explicit long upcast BEFORE the add: the stored bbox may be int32
+        # (fixed-point degrees ×1e7 fit 32 bits — the reference's storage
+        # convention) and int32+int32 would overflow on the sum
+        cx = ((F.col("minx").cast("long") + F.col("maxx").cast("long")) / 2).cast("long")
+        cy = ((F.col("miny").cast("long") + F.col("maxy").cast("long")) / 2).cast("long")
         # JVM-side bbox pre-filter before the Arrow UDF: a center outside
         # every polygon's bbox cannot match any ring, and the polygons cover
         # a small fraction of the plane — this cuts the Python transfer to

@@ -152,6 +152,34 @@ def main() -> None:
     check("q14 morton encode stays JVM-side", "no Python workers in plan",
           "EvalPython" not in p)
 
+    # --- simhash partenum: bounded symmetric equi-join, no BNL -------------
+    from osmquadtree_bin_spark.operators.dedup import _partenum_keys, simhash_near_pairs
+
+    sh = spark.createDataFrame(
+        [(i, (i * 2654435761) % (1 << 63)) for i in range(64)], "id long, simhash long"
+    )
+    p = executed(simhash_near_pairs(sh, max_hamming=8))
+    check(
+        "simhash k=8 candidates are an equi-join (PartEnum keys, no BNL/cartesian)",
+        "join on key 'b'; no BroadcastNestedLoop/Cartesian; JVM-side explode",
+        ("BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+         and "Generate explode" in p and "EvalPython" not in p),
+    )
+    check(
+        "simhash k=8 fan-out bounded (18 keys/row)",
+        f"len(_partenum_keys(8)) == {len(_partenum_keys(8))}",
+        len(_partenum_keys(8)) == 18,
+    )
+
+    # --- way_wkt assembly: one shuffle join + JVM string agg ---------------
+    p = executed(entry.queries()["q34_way_assembly"](spark, SF_DIR))
+    check(
+        "q34 way assembly stays JVM-side (sort-agg collect_list, no Python)",
+        "no EvalPython; ObjectHashAggregate/SortAggregate for collect_list",
+        "EvalPython" not in p
+        and ("ObjectHashAggregate" in p or "SortAggregate" in p),
+    )
+
     # --- write PLANS.md ----------------------------------------------------
     ok_all = all(ok for _, _, ok in rows)
     lines = [

@@ -52,12 +52,11 @@ def _docs_frame(n_docs: int, seed: int = 42) -> pd.DataFrame:
 
 
 def _region_rows(seed: int = 43):
-    """gen_regions' rows as plain tuples (collected once; same generator —
-    the region table is input, not operator)."""
-    from osmquadtree_bin_spark.datagen import gen_regions  # input contract only
-
-    # gen_regions needs a SparkSession only to wrap rows in a DataFrame;
-    # rebuild the same rows here without Spark by re-running its numpy body.
+    """The F3 region-table rows (input contract, not operator) — rebuilt
+    without Spark because ``datagen.gen_regions`` needs a SparkSession just
+    to wrap them in a DataFrame. Drift between this copy and the Spark-side
+    generator is caught by test_independent_oracles (q27 engine==oracle
+    would mismatch)."""
     rng = np.random.default_rng(seed)
     rows = []
     rows.append(("region_hot", "bbox",
@@ -84,7 +83,6 @@ def _region_rows(seed: int = 43):
                               80 * COORD_SCALE - lat)).astype(np.int64)
         rows.append((f"region_p{i}", "polygon", None, None, None, None,
                      [int(v) for v in lons], [int(v) for v in lats]))
-    _ = gen_regions  # imported to document parity with the Spark-side table
     return rows
 
 

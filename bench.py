@@ -82,6 +82,17 @@ def run_headline() -> dict:
         return x
 
     spark.range(0, 4096, 1, int(CPUS)).select(_warm("id").alias("w")).count()
+    # warm the engine import path inside those workers (numpy/pandas/datagen
+    # first-import is ~0.3s/worker) and the qt-parse chain's codegen JIT —
+    # one-time costs a long-lived production session never re-pays; without
+    # this they all land on whichever query touches the chain first (q26:
+    # 14.2s cold vs 3.3s steady-state at sf0.1)
+    from osmquadtree_bin_spark.datagen import gen_docs_dist
+    from osmquadtree_bin_spark.spans import explode_geoms
+
+    explode_geoms(
+        gen_docs_dist(spark, n_docs=int(CPUS) * 8, seed=1, partitions=int(CPUS))
+    ).count()
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
@@ -249,9 +260,9 @@ def _scaling_body(spark, tmp: str, cpus: int) -> dict:
         # tile_qt-free: tile_qt is constant per tile_idx and recoverable from
         # the broadcast groups frame at read time, so carrying it through the
         # shuffle+write is 8 wasted bytes/row on the bandwidth-bound stage
-        assigned = assign_tiles(slim, groups).drop("tile_qt").withColumn(
-            "tile_idx", F.col("tile_idx").cast("int")
-        )
+        assigned = assign_tiles(slim, groups, counts=counts).drop(
+            "tile_qt"
+        ).withColumn("tile_idx", F.col("tile_idx").cast("int"))
         timed(
             "assign_write_tiled",
             lambda: assigned.repartition(F.col("tile_idx"))
@@ -442,7 +453,7 @@ def write_path_probe(n_docs: int = 10_000_000, cpus: int | None = None) -> dict:
             counts["cell"].to_numpy(np.int64), counts["cnt"].to_numpy(np.int64),
             8000, 4000,
         )
-        assign_tiles(slim, groups).drop("tile_qt").withColumn(
+        assign_tiles(slim, groups, counts=counts).drop("tile_qt").withColumn(
             "tile_idx", F.col("tile_idx").cast("int")
         ).write.parquet(f"{tmp}/assigned")
         assigned = spark.read.parquet(f"{tmp}/assigned")
@@ -762,9 +773,10 @@ def _write_bench_md(record: dict, history: list[dict]) -> None:
         "- The hot elements/tiled tables carry no strings: the packed id "
         "encodes (type, doc seq, span_idx); doc_id is derived only at the "
         "serving edge.",
-        "- qt assignment is pure JVM expressions; the only pandas UDFs in "
-        "the job are the searchsorted tile assigner (one Arrow round-trip) "
-        "and the PIP kernel — both vectorized, no per-row Python.",
+        "- qt parse AND tile assignment are pure JVM expressions (the "
+        "assigner is one broadcast hash join per occupied group depth + "
+        "coalesce, whole-stage-codegen'd); the only pandas UDF in the job "
+        "is the PIP kernel — vectorized, no per-row Python.",
         "- PIP/kNN/raster joins broadcast the small side and prune by tile "
         "partition before touching data; AQE skew-join plus explicit "
         "salting (`operators/skew.py`) handle hot tiles; parent_highway "

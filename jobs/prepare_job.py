@@ -83,7 +83,7 @@ def main() -> None:
 
     # phase 4: assign + shuffle + write
     t3 = time.perf_counter()
-    assigned = assign_tiles(elements, groups)
+    assigned = assign_tiles(elements, groups, counts=counts)
     write_tiled(assigned, os.path.join(args.output, "tiles"))
     assigned.select("id", "qt", "tile_idx").orderBy("id").write.mode("overwrite").parquet(
         os.path.join(args.output, "assignments")

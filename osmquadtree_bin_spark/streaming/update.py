@@ -228,7 +228,7 @@ class TiledStore:
             target,
             minimum,
         )
-        assigned = assign_tiles(merged, groups)
+        assigned = assign_tiles(merged, groups, counts=counts)
         out = TiledStore(self.spark, out_root)
         out.write_initial(assigned)
         return out, counts, groups

@@ -8,10 +8,10 @@ Re-creates the reference pipeline phases 2-4 (``osmquadtree-prepare.go:170-292``
   2. ``find_groups``      — deterministic driver-side walk of the count tree,
                             emitting tile groups of target 8000 / minimum 4000
                             elements (``osmquadtree-prepare.go:88-89,192``).
-  3. ``assign_tiles``     — broadcast the sorted group keys; each element gets
-                            the DEEPEST group that is ancestor-of-or-equal of
-                            its (rounded) qt — vectorized searchsorted inside a
-                            pandas UDF, ≤ 18 passes, no per-row Python.
+  3. ``assign_tiles``     — each element gets the DEEPEST group that is
+                            ancestor-of-or-equal of its (rounded) qt — one
+                            broadcast hash join per occupied group depth
+                            (≤ 18) + coalesce, fully JVM-side, zero Python.
   4. ``write_tiled``      — repartition by tile, sort within partitions by id,
                             write hive-partitioned parquet (Iceberg partition
                             transform in production).
@@ -33,7 +33,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
 from . import quadtree as qtk
-from .quadtree import round_to
+from .quadtree import DEPTH_MASK, round_to
 
 QT_TREE_MAX_LEVEL = 17  # osmquadtree-prepare.go:87
 GROUP_TARGET = 8000  # osmquadtree-prepare.go:88
@@ -303,11 +303,128 @@ def make_tile_assigner(groups: pd.DataFrame, level: int = QT_TREE_MAX_LEVEL):
 
 
 def assign_tiles(
+    elements: DataFrame,
+    groups: pd.DataFrame,
+    level: int = QT_TREE_MAX_LEVEL,
+    impl: str = "jvm",
+    counts: pd.DataFrame | None = None,
+) -> DataFrame:
+    """Deepest-ancestor tile assignment, fully JVM-side (no Python workers).
+
+    Semantics (identical to :func:`make_tile_assigner`): round the element qt
+    to ``level``, then take the DEEPEST group key that is ancestor-of-or-equal.
+
+    Fast path (``counts`` given — every hot caller just computed the count
+    tree over the SAME elements): each element's rounded qt is by construction
+    one of the ≤150k count-tree cells, so the whole assignment is ONE
+    broadcast hash join against the (cell → tile_idx, tile_qt) map, which the
+    vectorized numpy assigner resolves driver-side in microseconds. One
+    broadcast, one JVM hash probe per element, zero Python on executors.
+
+    General path (no ``counts`` — e.g. incremental data arriving after the
+    groups were fixed): one broadcast hash join per occupied group depth —
+    the element probes with its ancestor key at that depth, the tiny
+    per-depth group slices are the build sides — then a ``coalesce`` picks
+    the deepest hit. All probes stay in one whole-stage-codegen span; no
+    shuffle of the big side, no Arrow round-trip (the previous pandas-UDF
+    searchsorted assigner serialized every element through Python workers and
+    kept the ``assign_write_tiled`` stage flat from 1→4 executors).
+
+    ``impl="arrow"`` keeps the legacy pandas-UDF path (parity-tested in
+    tests/test_tiling_golden.py)."""
+    if impl == "arrow":
+        return _assign_tiles_arrow(elements, groups, level)
+    if counts is not None and len(counts) and len(groups):
+        return _assign_tiles_cellmap(elements, groups, counts, level)
+
+    spark = elements.sparkSession
+    gkeys = groups["tile_qt"].to_numpy(np.int64)
+    gidx = groups["tile_idx"].to_numpy(np.int64)
+    overflow_idx = int(gidx.max()) + 1 if len(gidx) else 0
+
+    # group keys are unique (one emit per tree node) — the per-depth hash
+    # joins below rely on it (a duplicate key would duplicate element rows)
+    assert len(np.unique(gkeys)) == len(gkeys), "group keys must be unique"
+
+    depths = sorted({int(d) for d in (gkeys & 31)}, reverse=True)
+    # one Project computes every ancestor key (cheap bit math over the rounded
+    # qt; qt arrives lineage-severed so nothing big gets inlined 18×)
+    df = elements.withColumn("__qtr", qt_round_expr("qt", level))
+    for d in depths:
+        df = df.withColumn(f"__anc{d}", qt_round_expr("__qtr", d))
+    ti_cols: list[str] = []
+    tq_cols: list[str] = []
+    for d in depths:
+        m = (gkeys & 31) == d
+        slice_pdf = pd.DataFrame(
+            {
+                f"__gk{d}": gkeys[m],
+                f"__ti{d}": gidx[m],
+                f"__tq{d}": gkeys[m],
+            }
+        )
+        gdf = spark.createDataFrame(slice_pdf)
+        df = df.join(
+            F.broadcast(gdf), F.col(f"__anc{d}") == F.col(f"__gk{d}"), "left"
+        ).drop(f"__gk{d}")
+        ti_cols.append(f"__ti{d}")
+        tq_cols.append(f"__tq{d}")
+    df = df.withColumn(
+        "tile_idx",
+        F.coalesce(*[F.col(c) for c in ti_cols], F.lit(overflow_idx)).cast("long"),
+    ).withColumn(
+        "tile_qt",
+        F.coalesce(*[F.col(c) for c in tq_cols], F.lit(0)).cast("long"),
+    )
+    return df.drop("__qtr", *(f"__anc{d}" for d in depths), *ti_cols, *tq_cols)
+
+
+def _assign_tiles_cellmap(
+    elements: DataFrame,
+    groups: pd.DataFrame,
+    counts: pd.DataFrame,
+    level: int = QT_TREE_MAX_LEVEL,
+) -> DataFrame:
+    """counts-backed fast path: resolve (cell → tile) driver-side with the
+    numpy assigner over the ≤150k count-tree cells, broadcast the map, ONE
+    JVM hash join. ``counts`` must be the count tree computed over these
+    same elements (their rounded qt is then guaranteed to be a map key);
+    unseen cells still fall back to the overflow tile via the left join."""
+    spark = elements.sparkSession
+    cells = counts["cell"].to_numpy(np.int64)
+    # probe depth = deepest cell depth: rounding an element qt there yields
+    # exactly its count-tree cell (count_tree may have coarsened below
+    # `level`; rounding is idempotent across levels)
+    probe_level = int((cells & DEPTH_MASK).max()) if len(cells) else 0
+    assigner = make_tile_assigner(groups, level)
+    tidx = assigner(cells)
+    tqt = (
+        groups.set_index("tile_idx")["tile_qt"]
+        .reindex(tidx)
+        .fillna(0)
+        .to_numpy(np.int64)
+    )
+    gdf = spark.createDataFrame(
+        pd.DataFrame({"__cell": cells, "__ti": tidx, "__tq": tqt})
+    )
+    return (
+        elements.withColumn("__cell", qt_round_expr("qt", probe_level))
+        .join(F.broadcast(gdf), "__cell", "left")
+        .withColumn(
+            "tile_idx",
+            F.coalesce("__ti", F.lit(assigner.overflow_idx)).cast("long"),
+        )
+        .withColumn("tile_qt", F.coalesce("__tq", F.lit(0)).cast("long"))
+        .drop("__cell", "__ti", "__tq")
+    )
+
+
+def _assign_tiles_arrow(
     elements: DataFrame, groups: pd.DataFrame, level: int = QT_TREE_MAX_LEVEL
 ) -> DataFrame:
-    """ONE Arrow round-trip: the searchsorted assigner produces tile_idx;
-    tile_qt comes from a broadcast hash join against the (tiny) groups frame
-    — JVM-side, instead of a second Python UDF pass over every element."""
+    """Legacy Arrow-path assigner: ONE pandas-UDF round-trip (searchsorted),
+    tile_qt via broadcast hash join. Kept for parity testing against the
+    JVM path — the JVM path is the production one."""
     assigner = make_tile_assigner(groups, level)
 
     @pandas_udf(LongType())
@@ -373,5 +490,5 @@ def tiling_pipeline(
         target,
         minimum,
     )
-    assigned = assign_tiles(elements, groups, level)
+    assigned = assign_tiles(elements, groups, level, counts=counts)
     return assigned, counts, groups

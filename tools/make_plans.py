@@ -95,15 +95,22 @@ def main() -> None:
     )
     assigned = assign_tiles(elements, groups)
     p = executed(assigned.filter(F.col("tile_idx") == 3))
+    n_depths = len(set(int(k) & 31 for k in groups["tile_qt"]))
     check(
-        "tile filter does NOT duplicate the assigner UDF below the projection",
-        f"{p.count('ArrowEvalPython')}x ArrowEvalPython (the assigner), plan {len(p)} chars",
-        p.count("ArrowEvalPython") == 1 and len(p) < 200_000,
+        "tile assignment fully JVM-side (per-depth broadcast hash joins, zero Python)",
+        f"{p.count('BroadcastHashJoin')}x BroadcastHashJoin for {n_depths} group depths; EvalPython absent",
+        "EvalPython" not in p and p.count("BroadcastHashJoin") >= n_depths,
     )
     check(
-        "tile_qt via broadcast hash join (no second Python pass)",
-        "BroadcastHashJoin on tile_idx",
-        "BroadcastHashJoin" in p,
+        "tile filter does NOT blow up the plan below the coalesce",
+        f"plan {len(p)} chars (bound 200k)",
+        len(p) < 200_000,
+    )
+    p = executed(assign_tiles(elements, groups, counts=counts))
+    check(
+        "counts-backed tile assignment is ONE broadcast hash join, zero Python",
+        f"{p.count('BroadcastHashJoin')}x BroadcastHashJoin; EvalPython absent",
+        "EvalPython" not in p and p.count("BroadcastHashJoin") == 1,
     )
 
     # --- parent_highway: cell equi-join, no BNL ---------------------------

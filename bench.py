@@ -100,6 +100,10 @@ def run_headline() -> dict:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         _ = n
+        # queries that persist their generated input (q26/q27) cannot
+        # unpersist before the caller consumes the plan — evict here so
+        # cached frames don't accumulate in executor storage over the suite
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
     return {
         "metric": "headline-suite-wall-sec",
@@ -114,15 +118,16 @@ EXEC_CORES = int(os.environ.get("BENCH_EXEC_CORES", "8"))
 EXEC_MEM_MB = int(os.environ.get("BENCH_EXEC_MEM_MB", "13312"))
 
 
-def _master_for(cpus: int, mode: str) -> tuple[str, dict]:
+def _master_for(cpus: int, mode: str, exec_cores: int | None = None) -> tuple[str, dict]:
     """local mode: one JVM with `cpus` threads (the BASELINE.md-stated
-    proxy). cluster mode: `cpus/EXEC_CORES` separate executor JVMs of
-    EXEC_CORES each (`local-cluster`) — each executor brings its own heap,
+    proxy). cluster mode: `cpus/exec_cores` separate executor JVMs of
+    exec_cores each (`local-cluster`) — each executor brings its own heap,
     GC, and Python workers, modelling N vs 4N *executors* instead of N vs
     4N threads in one shared heap."""
+    ec = exec_cores or EXEC_CORES
     if mode == "local":
         return f"local[{cpus}]", {}
-    workers = max(1, cpus // EXEC_CORES)
+    workers = max(1, cpus // ec)
     extra = {
         "spark.executor.memory": f"{EXEC_MEM_MB - 1024}m",
         "spark.executor.extraJavaOptions": "-Djava.io.tmpdir=/tmp -XX:+UseParallelGC",
@@ -130,10 +135,15 @@ def _master_for(cpus: int, mode: str) -> tuple[str, dict]:
         # they need the repo on PYTHONPATH (spark-submit --py-files in prod)
         "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
     }
-    return f"local-cluster[{workers},{EXEC_CORES},{EXEC_MEM_MB}]", extra
+    return f"local-cluster[{workers},{ec},{EXEC_MEM_MB}]", extra
 
 
-def scaling_job(cpus: int, mode: str = "local") -> dict:
+def scaling_job(
+    cpus: int,
+    mode: str = "local",
+    exec_cores: int | None = None,
+    n_docs: int | None = None,
+) -> dict:
     """The north-rule job: tile assignment over interleaved docs + PIP join.
     Returns rows processed + wall seconds (one driver at local[cpus] or
     local-cluster with cpus total cores)."""
@@ -152,7 +162,7 @@ def scaling_job(cpus: int, mode: str = "local") -> dict:
     os.environ.setdefault("SPARK_DRIVER_MEM", "32g")  # headroom: GC noise off the measurement
     if os.path.isdir("/dev/shm"):
         os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/oqt_spark_local")
-    master, extra = _master_for(cpus, mode)
+    master, extra = _master_for(cpus, mode, exec_cores)
     spark = get_spark(
         app=f"oqt-scaling-{mode}-{cpus}",
         master=master,
@@ -175,7 +185,7 @@ def scaling_job(cpus: int, mode: str = "local") -> dict:
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     tmp = tempfile.mkdtemp(prefix=f"oqt_scaling_{cpus}_", dir=shm)
     try:
-        return _scaling_body(spark, tmp, cpus)
+        return _scaling_body(spark, tmp, cpus, n_docs or N_DOCS_SCALING)
     finally:  # a crashed run must not leak multi-GB tmpfs dirs
         spark.stop()
         import shutil
@@ -183,7 +193,7 @@ def scaling_job(cpus: int, mode: str = "local") -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _scaling_body(spark, tmp: str, cpus: int) -> dict:
+def _scaling_body(spark, tmp: str, cpus: int, n_docs: int = N_DOCS_SCALING) -> dict:
     from pyspark.sql import functions as F
 
     from osmquadtree_bin_spark.datagen import gen_docs_dist, gen_regions
@@ -193,7 +203,7 @@ def _scaling_body(spark, tmp: str, cpus: int) -> dict:
 
     import numpy as np
 
-    gen_docs_dist(spark, n_docs=N_DOCS_SCALING, seed=42, partitions=cpus * 4).write.mode(
+    gen_docs_dist(spark, n_docs=n_docs, seed=42, partitions=cpus * 4).write.mode(
         "overwrite"
     ).parquet(f"{tmp}/docs")
     docs = spark.read.parquet(f"{tmp}/docs")
@@ -488,40 +498,62 @@ def write_path_probe(n_docs: int = 10_000_000, cpus: int | None = None) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def run_scaling() -> dict:
-    n, n4 = SCALING_LEVELS
+KNEE_LEVELS = (
+    int(os.environ.get("BENCH_KNEE_N", "2")),
+    int(os.environ.get("BENCH_KNEE_4N", "8")),
+)
+N_DOCS_KNEE = int(os.environ.get("BENCH_KNEE_DOCS", "5000000"))
+
+
+def _measure_pair(
+    n: int, n4: int, exec_cores: int, n_docs: int, modes=("cluster", "local")
+) -> dict:
+    """One N→4N measurement (each level in its own subprocess/JVM set)."""
     factor = n4 / n
     results: dict[str, dict[int, dict]] = {}
-    # cluster mode first (the north-rule evidence: separate executor JVMs),
-    # then the thread-proxy local pair for continuity with earlier rounds
-    for mode in ("cluster", "local"):
+    for mode in modes:
         results[mode] = {}
         for cpus in (n, n4):
-            results[mode][cpus] = _sub_json(["--single-scaling", str(cpus), mode])
+            results[mode][cpus] = _sub_json(
+                ["--single-scaling", str(cpus), mode, str(exec_cores), str(n_docs)]
+            )
 
     def eff(mode: str) -> float:
         r = results[mode]
         return round(r[n4]["rows_per_sec"] / (factor * r[n]["rows_per_sec"]), 4)
 
-    raw = calibrate_raw_cpu(n, n4)
+    rec = {
+        "n_docs": n_docs,
+        "levels": [n, n4],
+        "exec_cores": exec_cores,
+        "calib_raw_cpu": calibrate_raw_cpu(n, n4),
+    }
+    for mode in modes:
+        rec[mode] = {str(c): results[mode][c] for c in (n, n4)}
+        rec[f"efficiency_{mode}"] = eff(mode)
+    return rec
+
+
+def run_scaling() -> dict:
+    n, n4 = SCALING_LEVELS
+    factor = n4 / n
+    record = _measure_pair(n, n4, EXEC_CORES, N_DOCS_SCALING)
+    # below-the-knee companion (cluster mode only): the 8→32 step is
+    # memory-bandwidth-saturated on this box (no-engine raw-CPU calibration
+    # itself lands 0.66-0.73 there); 2→8 cores sits below that knee, where
+    # the no-engine ceiling clears ~0.9, so engine scaling is separable from
+    # hardware sharing. Same executor isolation (local-cluster, 1→4 JVMs of
+    # 2 cores), smaller input so per-core work matches the main pair.
+    kn, kn4 = KNEE_LEVELS
+    record["knee"] = _measure_pair(kn, kn4, kn, N_DOCS_KNEE, modes=("cluster",))
+
+    record["date"] = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    record["calib_tmpfs"] = calibrate_tmpfs()
     jvm_runs = {str(c): _sub_json(["--calibrate-jvm", str(c)]) for c in (n, n4)}
     jvm_eff = round(
         jvm_runs[str(n)]["wall_sec"] / (factor * jvm_runs[str(n4)]["wall_sec"]), 4
     )
-
-    record = {
-        "date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
-        "n_docs": N_DOCS_SCALING,
-        "levels": [n, n4],
-        "calib_tmpfs": calibrate_tmpfs(),
-        "exec_cores": EXEC_CORES,
-        "cluster": {str(c): results["cluster"][c] for c in (n, n4)},
-        "local": {str(c): results["local"][c] for c in (n, n4)},
-        "efficiency_cluster": eff("cluster"),
-        "efficiency_local": eff("local"),
-        "calib_raw_cpu": raw,
-        "calib_jvm_only": {"runs": jvm_runs, "efficiency": jvm_eff},
-    }
+    record["calib_jvm_only"] = {"runs": jvm_runs, "efficiency": jvm_eff}
     history = []
     if os.path.exists(HISTORY_PATH):
         with open(HISTORY_PATH) as f:
@@ -530,23 +562,29 @@ def run_scaling() -> dict:
     with open(HISTORY_PATH, "w") as f:
         json.dump(history, f, indent=1)
 
+    knee = record["knee"]
     payload = {
         "metric": (
             f"tile-assign+pip rows/sec scaling, N->4N executors "
             f"(local-cluster[{n // EXEC_CORES},{EXEC_CORES}]->"
             f"local-cluster[{n4 // EXEC_CORES},{EXEC_CORES}]) "
-            f"and local[{n}]->local[{n4}]"
+            f"and local[{n}]->local[{n4}], plus below-knee "
+            f"local-cluster[{kn // kn},{kn}]->local-cluster[{kn4 // kn},{kn}]"
         ),
-        "value": eff("cluster"),
+        "value": record["efficiency_cluster"],
         "unit": "efficiency",
         "queries": {
-            "cluster_efficiency": eff("cluster"),
-            "local_efficiency": eff("local"),
-            f"cluster{n}_rows_per_sec": results["cluster"][n]["rows_per_sec"],
-            f"cluster{n4}_rows_per_sec": results["cluster"][n4]["rows_per_sec"],
-            f"local{n}_rows_per_sec": results["local"][n]["rows_per_sec"],
-            f"local{n4}_rows_per_sec": results["local"][n4]["rows_per_sec"],
-            "calib_raw_cpu_eff": raw["efficiency"],
+            "cluster_efficiency": record["efficiency_cluster"],
+            "local_efficiency": record["efficiency_local"],
+            "knee_cluster_efficiency": knee["efficiency_cluster"],
+            f"cluster{n}_rows_per_sec": record["cluster"][str(n)]["rows_per_sec"],
+            f"cluster{n4}_rows_per_sec": record["cluster"][str(n4)]["rows_per_sec"],
+            f"local{n}_rows_per_sec": record["local"][str(n)]["rows_per_sec"],
+            f"local{n4}_rows_per_sec": record["local"][str(n4)]["rows_per_sec"],
+            f"knee{kn}_rows_per_sec": knee["cluster"][str(kn)]["rows_per_sec"],
+            f"knee{kn4}_rows_per_sec": knee["cluster"][str(kn4)]["rows_per_sec"],
+            "calib_raw_cpu_eff": record["calib_raw_cpu"]["efficiency"],
+            "knee_calib_raw_cpu_eff": knee["calib_raw_cpu"]["efficiency"],
             "calib_jvm_only_eff": jvm_eff,
         },
         "sf": N_DOCS_SCALING,
@@ -571,6 +609,56 @@ def _write_path_lines() -> list[str]:
             "i.e. the write stage alone is NOT the limiter; in the pipeline "
             "all stages compete for the same cores and memory system."
         ),
+        "",
+    ]
+
+
+def _knee_lines(record: dict) -> list[str]:
+    """BENCH.md section for the below-the-knee N→4N pair (2→8 cores by
+    default): the parallelism step where the box's own no-engine ceiling
+    clears ~0.9, so engine scaling is separable from memory-bandwidth
+    sharing."""
+    knee = record.get("knee")
+    if not knee:
+        return []
+    kn, kn4 = knee["levels"]
+    ec = knee["exec_cores"]
+    rn, r4 = knee["cluster"][str(kn)], knee["cluster"][str(kn4)]
+    raw = knee["calib_raw_cpu"]
+    factor = kn4 // kn
+    stage_tbl = []
+    for key in rn.get("stages", {}):
+        if key.endswith("_mb") or key.endswith("_mb_per_s"):
+            continue
+        a, b = rn["stages"][key], r4["stages"].get(key, float("nan"))
+        e = round(a / b / factor, 2) if b else float("nan")
+        stage_tbl.append(f"| {key} | {a} | {b} | {e} |")
+    return [
+        f"## Below the bandwidth knee: {kn}→{kn4} cores "
+        f"({kn // ec}→{kn4 // ec} executor JVMs × {ec} cores)",
+        "",
+        f"The {record['levels'][0]}→{record['levels'][1]} step saturates this "
+        "box's single memory system (the no-engine raw-CPU calibration itself "
+        f"lands ~0.7 there). At {kn}→{kn4} cores the same no-engine "
+        f"calibration measures **{raw['efficiency']}** (wall {raw['t_n']}s → "
+        f"{raw['t_4n']}s), i.e. the hardware can express near-linear scaling "
+        "— so this pair isolates ENGINE scaling. Same job, same executor "
+        f"isolation, {knee['n_docs']:,} docs:",
+        "",
+        "| parallelism | rows | wall (s) | rows/sec |",
+        "|---|---|---|---|",
+        f"| {kn // ec}×{ec} cores | {rn['rows']:,} | {rn['wall_sec']} | "
+        f"{rn['rows_per_sec']:,.0f} |",
+        f"| {kn4 // ec}×{ec} cores | {r4['rows']:,} | {r4['wall_sec']} | "
+        f"{r4['rows_per_sec']:,.0f} |",
+        "",
+        f"**Below-knee scaling efficiency {kn}→{kn4}: "
+        f"{knee['efficiency_cluster']}** (no-engine ceiling at the same "
+        f"step: {raw['efficiency']}).",
+        "",
+        f"| stage | {kn // ec} exec | {kn4 // ec} exec | efficiency |",
+        "|---|---|---|---|",
+        *stage_tbl,
         "",
     ]
 
@@ -655,6 +743,7 @@ def _write_bench_md(record: dict, history: list[dict]) -> None:
         "(north-rule target ≥ 0.8). "
         f"Thread-mode local[{n}]→local[{n4}]: {record['efficiency_local']}.",
         "",
+        *_knee_lines(record),
         f"## Per-stage scaling — executor mode (wall s at {n // ec}× / "
         f"{n4 // ec}× executors / eff)",
         "",
@@ -795,7 +884,9 @@ def _write_bench_md(record: dict, history: list[dict]) -> None:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--single-scaling":
         mode = sys.argv[3] if len(sys.argv) > 3 else "local"
-        print(json.dumps(scaling_job(int(sys.argv[2]), mode)))
+        ec = int(sys.argv[4]) if len(sys.argv) > 4 else None
+        nd = int(sys.argv[5]) if len(sys.argv) > 5 else None
+        print(json.dumps(scaling_job(int(sys.argv[2]), mode, ec, nd)))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--calibrate-jvm":
         print(json.dumps(jvm_calib_job(int(sys.argv[2]))))

@@ -5,12 +5,16 @@
         --output <output dir> [--target 8000] [--minimum 4000] [--gen-docs N]
 
 Writes under --output:
+    elements/         slim staged elements (id, qt, int32 bbox, int8 geom_type)
     tiles/            tile-partitioned, id-sorted elements (S8)
     assignments/      (id, qt, tile_idx) — the golden S9 output
     qts.txt           count-tree dump, reference "%6d %s" format (S12)
     groups.txt        tile-group dump (S12)
     metrics.json      per-phase wall times (the reference's self-report,
-                      osmquadtree-prepare.go:301-305)
+                      osmquadtree-prepare.go:301-305): parse_qt, count_tree,
+                      find_groups, assign_write_tiled — the SAME phases
+                      bench.py's scaling measurement times, because both run
+                      ``prepare_pipeline`` (the one shipped code path)
 
 ``--gen-docs N`` generates a deterministic synthetic input instead of
 --input (sandbox/demo mode).
@@ -27,6 +31,103 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def prepare_pipeline(
+    spark,
+    docs,
+    work_dir: str,
+    target: int = 8000,
+    minimum: int = 4000,
+    run_tag: str = "",
+    partition_by_tile: bool = True,
+) -> tuple[dict, dict]:
+    """THE prepare pipeline (§3.1) — the one code path both the shipped
+    spark-submit job (``main`` below) and ``bench.py``'s north-rule scaling
+    measurement run, so the measured pipeline is literally the shipped job.
+
+    Phases (per-phase walls returned in ``stages``):
+      parse_qt            span parse + JVM quadtree Calculate → slim elements
+                          table staged to parquet (int32 bbox, int8 geom_type,
+                          NO strings — the packed id encodes doc seq/span)
+      count_tree          distributed per-cell agg, capped driver collect
+      find_groups         serial group walk over the collected tree
+      assign_write_tiled  counts-backed ONE-broadcast-join assignment →
+                          repartition(tile_idx) → sorted tiled write
+
+    Returns (stages, artifacts): artifacts carries elements/tiled paths, the
+    counts/groups frames, and n_elements."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osmquadtree_bin_spark.spans import explode_geoms
+    from osmquadtree_bin_spark.tiling import assign_tiles, count_tree, find_groups
+
+    stages: dict[str, float] = {}
+
+    def timed(label, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        stages[label] = round(time.perf_counter() - t0, 3)
+        return r
+
+    el_path = os.path.join(work_dir, f"elements{run_tag}")
+    timed(
+        "parse_qt",
+        lambda: explode_geoms(docs)
+        .select(
+            "id",
+            "qt",
+            F.col("minx").cast("int").alias("minx"),
+            F.col("miny").cast("int").alias("miny"),
+            F.col("maxx").cast("int").alias("maxx"),
+            F.col("maxy").cast("int").alias("maxy"),
+            F.col("geom_type").cast("tinyint").alias("geom_type"),
+        )
+        .write.mode("overwrite")
+        .parquet(el_path),
+    )
+    slim = spark.read.parquet(el_path)
+    n_elements = slim.count()
+    counts = timed("count_tree", lambda: count_tree(slim, n_rows_hint=n_elements))
+    groups = timed(
+        "find_groups",
+        lambda: find_groups(
+            counts["cell"].to_numpy(np.int64),
+            counts["cnt"].to_numpy(np.int64),
+            target,
+            minimum,
+        ),
+    )
+    # the tiled store is tile_qt-free (recoverable from the broadcast groups
+    # frame at read time — 8 wasted bytes/row through the bandwidth-bound
+    # shuffle+write otherwise) and int32 tile_idx
+    assigned = (
+        assign_tiles(slim, groups, counts=counts)
+        .drop("tile_qt")
+        .withColumn("tile_idx", F.col("tile_idx").cast("int"))
+    )
+    tiled_path = os.path.join(work_dir, f"tiles{run_tag}")
+
+    def write():
+        w = (
+            assigned.repartition(F.col("tile_idx"))
+            .sortWithinPartitions("tile_idx", "id")
+            .write.mode("overwrite")
+        )
+        if partition_by_tile:
+            w = w.partitionBy("tile_idx")
+        w.parquet(tiled_path)
+
+    timed("assign_write_tiled", write)
+    artifacts = {
+        "elements_path": el_path,
+        "tiled_path": tiled_path,
+        "counts": counts,
+        "groups": groups,
+        "n_elements": n_elements,
+    }
+    return stages, artifacts
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input")
@@ -40,15 +141,7 @@ def main() -> None:
     from pyspark.sql import SparkSession, functions as F
 
     from osmquadtree_bin_spark.datagen import gen_docs_dist
-    from osmquadtree_bin_spark.spans import explode_geoms, span_fingerprint
-    from osmquadtree_bin_spark.tiling import (
-        assign_tiles,
-        count_tree,
-        find_groups,
-        group_lines,
-        tree_lines,
-        write_tiled,
-    )
+    from osmquadtree_bin_spark.tiling import group_lines, tree_lines
 
     spark = SparkSession.builder.appName("oqt-prepare").getOrCreate()
     metrics: dict[str, float] = {}
@@ -61,34 +154,20 @@ def main() -> None:
             ap.error("--input or --gen-docs required")
         docs = spark.read.parquet(args.input)
 
-    # phase 1: calc qts (span parse + Calculate)
-    elements = explode_geoms(docs)
-    n_elements = elements.count()
-    metrics["calc_qts_sec"] = round(time.perf_counter() - t0, 3)
-
-    # phase 2: count tree
-    t1 = time.perf_counter()
-    counts = count_tree(elements, n_rows_hint=n_elements)
-    metrics["make_qt_tree_sec"] = round(time.perf_counter() - t1, 3)
-
-    # phase 3: groups
-    t2 = time.perf_counter()
-    groups = find_groups(
-        counts["cell"].to_numpy(np.int64),
-        counts["cnt"].to_numpy(np.int64),
-        args.target,
-        args.minimum,
+    stages, arts = prepare_pipeline(
+        spark, docs, args.output, args.target, args.minimum
     )
-    metrics["find_groups_sec"] = round(time.perf_counter() - t2, 3)
+    metrics.update(stages)
+    counts, groups, n_elements = arts["counts"], arts["groups"], arts["n_elements"]
 
-    # phase 4: assign + shuffle + write
-    t3 = time.perf_counter()
-    assigned = assign_tiles(elements, groups, counts=counts)
-    write_tiled(assigned, os.path.join(args.output, "tiles"))
-    assigned.select("id", "qt", "tile_idx").orderBy("id").write.mode("overwrite").parquet(
+    # golden S9 assignments table (id → qt → tile), id-sorted (O2)
+    t1 = time.perf_counter()
+    spark.read.parquet(arts["tiled_path"]).select(
+        "id", "qt", F.col("tile_idx").cast("long").alias("tile_idx")
+    ).orderBy("id").write.mode("overwrite").parquet(
         os.path.join(args.output, "assignments")
     )
-    metrics["write_tiles_sec"] = round(time.perf_counter() - t3, 3)
+    metrics["assignments_sec"] = round(time.perf_counter() - t1, 3)
     metrics["total_sec"] = round(time.perf_counter() - t0, 3)
     metrics["n_elements"] = n_elements
     metrics["n_groups"] = int(len(groups))

@@ -50,6 +50,7 @@ def main() -> None:
         diff, args.output, target=args.target, minimum=args.minimum
     )
     metrics["total_sec"] = round(time.perf_counter() - t0, 3)
+    metrics.update(out.rebase_phases)  # per-phase walls (rebase.go:730-734)
     metrics["n_groups"] = int(len(groups))
     metrics["n_cells"] = int(len(counts))
 

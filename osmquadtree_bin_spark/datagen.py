@@ -174,9 +174,10 @@ def gen_docs_dist(spark, n_docs: int, seed: int = 42, partitions: int | None = N
     return base.mapInPandas(gen, SPAN_SCHEMA)
 
 
-def gen_regions(spark, n_bbox: int = 8, n_poly: int = 4, seed: int = 43):
-    """F3: bbox + polygon regions; one region pinned over a hot cluster (skew),
-    one over empty ocean (matches nothing)."""
+def region_rows(n_bbox: int = 8, n_poly: int = 4, seed: int = 43) -> list[tuple]:
+    """F3 region-table ROWS (no Spark) — the single source of truth shared by
+    :func:`gen_regions` and the independent oracles
+    (tests/independent_oracles.py), so the two sides can never drift."""
     rng = np.random.default_rng(seed)
     rows = []
     # pinned: hot-cluster bbox (London) and a no-match bbox (south pacific)
@@ -200,8 +201,14 @@ def gen_regions(spark, n_bbox: int = 8, n_poly: int = 4, seed: int = 43):
         lats = (lat + np.clip(rad * np.sin(ang), -80 * COORD_SCALE - lat, 80 * COORD_SCALE - lat)).astype(np.int64)
         rows.append((f"region_p{i}", "polygon", None, None, None, None,
                      [int(v) for v in lons], [int(v) for v in lats]))
+    return rows
+
+
+def gen_regions(spark, n_bbox: int = 8, n_poly: int = 4, seed: int = 43):
+    """F3: bbox + polygon regions; one region pinned over a hot cluster (skew),
+    one over empty ocean (matches nothing). Rows from :func:`region_rows`."""
     return spark.createDataFrame(
-        rows,
+        region_rows(n_bbox, n_poly, seed),
         "region_id string, kind string, minx long, miny long, maxx long, maxy long, "
         "lons array<long>, lats array<long>",
     )
@@ -245,6 +252,157 @@ def gen_elements(spark, n_nodes: int = 2000, n_ways: int = 300, n_rels: int = 60
         rels, "id long, members array<struct<mtype:int,ref:long,role:string>>"
     )
     return nodes_df, ways_df, rels_df
+
+
+def _mp_rows(n_rels: int = 40, seed: int = 46):
+    """F7: multipolygon-relation fixture rows (pure pandas — shared input
+    contract with tests/independent_oracles.oracle_q35). Per relation:
+    1-3 outer rings (regular polygons, some generated clockwise, each split
+    into 1-4 member ways, some ways direction-reversed), 0-2 inner square
+    rings inside outer #0, plus keyed edge cases:
+
+      r % 7 == 1  a zero-area (collinear) closed "outer" ring  → dropped
+      r % 7 == 3  an unclosed open arc with role outer         → dropped
+      r % 7 == 5  a closed inner ring OUTSIDE every outer      → dropped
+      r % 7 == 6  an outer ring with one way referencing a
+                  missing node (way dropped whole → ring never
+                  closes → partner way dropped too)
+
+    Every relation also carries a node member (role admin_centre) and some a
+    way member with role "label" — both must be ignored by the assembler.
+    Returns (nodes_pdf, ways_pdf, rels_pdf)."""
+    import math
+
+    nodes: list[tuple[int, int, int]] = []
+    ways: list[tuple[int, list[int]]] = []
+    rels: list[tuple[int, list[tuple[int, int, str]]]] = []
+
+    for r in range(n_rels):
+        rng = np.random.default_rng([seed, r])
+        base_lon = int(rng.integers(-160, 160)) * COORD_SCALE // 10
+        base_lat = int(rng.integers(-70, 70)) * COORD_SCALE // 10
+        nid = (r + 1) * 100_000
+        wid = (r + 1) * 1_000
+        members: list[tuple[int, int, str]] = []
+
+        def add_ring(cx, cy, m, radius, role, ccw, n_ways, poison_ref=False):
+            nonlocal nid, wid
+            verts = [
+                (
+                    cx + int(radius * math.cos(2 * math.pi * k / m)),
+                    cy + int(radius * math.sin(2 * math.pi * k / m)),
+                )
+                for k in range(m)
+            ]
+            if not ccw:
+                verts = verts[::-1]
+            vids = list(range(nid, nid + m))
+            nid += m
+            nodes.extend((v, x, y) for v, (x, y) in zip(vids, verts))
+            s = min(n_ways, m)
+            cuts = sorted(int(c) for c in rng.choice(m, size=s, replace=False))
+            rot = vids[cuts[0]:] + vids[: cuts[0]]
+            rel_cuts = sorted((c - cuts[0]) % m for c in cuts) + [m]
+            seq = rot + [rot[0]]
+            for a, b in zip(rel_cuts, rel_cuts[1:]):
+                refs = seq[a : b + 1]
+                if poison_ref and a == rel_cuts[0]:
+                    refs = refs[:]
+                    refs[1] = 10**15 + wid  # missing node (never generated)
+                if rng.random() < 0.5:
+                    refs = refs[::-1]
+                ways.append((wid, refs))
+                members.append((1, wid, role))
+                wid += 1
+
+        n_out = 1 + r % 3
+        radius0 = int(rng.integers(500_000, 1_200_000))
+        for o in range(n_out):
+            add_ring(
+                base_lon + o * 4_000_000,
+                base_lat,
+                m=4 + int(rng.integers(0, 4)),
+                radius=radius0 if o == 0 else int(rng.integers(400_000, 1_000_000)),
+                role="outer",
+                ccw=bool(rng.random() < 0.6),
+                n_ways=1 + int(rng.integers(0, 4)),
+            )
+        for _h in range((1 + r) % 3 if r % 2 == 0 else 0):
+            off = int(radius0 * 0.25) * (1 if _h == 0 else -1)
+            add_ring(
+                base_lon + off,
+                base_lat + off // 2,
+                m=4,
+                radius=max(50_000, int(radius0 * 0.15)),
+                role="inner",
+                ccw=bool(rng.random() < 0.5),
+                n_ways=1 + int(rng.integers(0, 2)),
+            )
+        if r % 7 == 1:  # zero-area collinear "ring"
+            a, b, c = nid, nid + 1, nid + 2
+            d = 200_000
+            nodes += [(a, base_lon + 5_000_000, base_lat),
+                      (b, base_lon + 5_000_000 + d, base_lat),
+                      (c, base_lon + 5_000_000 + 2 * d, base_lat)]
+            nid += 3
+            ways.append((wid, [a, b, c, a]))
+            members.append((1, wid, "outer"))
+            wid += 1
+        if r % 7 == 3:  # open arc, never closes
+            a, b, c = nid, nid + 1, nid + 2
+            nodes += [(a, base_lon - 3_000_000, base_lat),
+                      (b, base_lon - 3_200_000, base_lat + 300_000),
+                      (c, base_lon - 3_400_000, base_lat)]
+            nid += 3
+            ways.append((wid, [a, b, c]))
+            members.append((1, wid, "outer"))
+            wid += 1
+        if r % 7 == 5:  # closed inner ring outside every outer
+            add_ring(base_lon + 20_000_000, base_lat + 10_000_000, m=4,
+                     radius=300_000, role="inner", ccw=True, n_ways=1)
+        if r % 7 == 6:  # ring poisoned by a missing node ref
+            add_ring(base_lon, base_lat + 8_000_000, m=5, radius=600_000,
+                     role="outer", ccw=True, n_ways=2, poison_ref=True)
+
+        # non-way and non-outer/inner members: must be ignored
+        centre = nid
+        nodes.append((centre, base_lon, base_lat))
+        nid += 1
+        members.append((0, centre, "admin_centre"))
+        if r % 5 == 0 and members:
+            first_way = next(mm[1] for mm in members if mm[0] == 1)
+            members.append((1, first_way, "label"))
+        # relation ids are 1-based (OSM ids start at 1; id 0 would negate to
+        # a non-negative osm_id in planet_osm_polygon's relation-row
+        # convention). Edge-case classes stay keyed on r = id - 1.
+        rels.append((r + 1, members))
+
+    nodes_pdf = pd.DataFrame(nodes, columns=["id", "lon", "lat"]).astype(
+        {"id": "int64", "lon": "int64", "lat": "int64"}
+    )
+    ways_pdf = pd.DataFrame(ways, columns=["id", "refs"])
+    ways_pdf["id"] = ways_pdf["id"].astype("int64")
+    rels_pdf = pd.DataFrame(rels, columns=["id", "members"])
+    rels_pdf["id"] = rels_pdf["id"].astype("int64")
+    return nodes_pdf, ways_pdf, rels_pdf
+
+
+def gen_multipolygon(spark, n_rels: int = 40, seed: int = 46):
+    """Spark frames for the multipolygon fixture: (nodes, ways, relations)."""
+    nodes_pdf, ways_pdf, rels_pdf = _mp_rows(n_rels, seed)
+    nodes = spark.createDataFrame(nodes_pdf, "id long, lon long, lat long")
+    ways = spark.createDataFrame(
+        [(int(i), [int(x) for x in refs]) for i, refs in ways_pdf.itertuples(index=False)],
+        "id long, refs array<long>",
+    )
+    rels = spark.createDataFrame(
+        [
+            (int(i), [(int(mt), int(ref), role) for mt, ref, role in ms])
+            for i, ms in rels_pdf.itertuples(index=False)
+        ],
+        "id long, members array<struct<mtype:int,ref:long,role:string>>",
+    )
+    return nodes, ways, rels
 
 
 def gen_tile_requests(spark, n: int = 64, seed: int = 44):

@@ -9,6 +9,8 @@ ordering. way_area: shoelace area over mercator coords
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, functions as F
@@ -100,25 +102,37 @@ def z_order(tags: str = "tags") -> Column:
 
 @pandas_udf(DoubleType())
 def way_area_merc(wkt: pd.Series) -> pd.Series:
-    """Shoelace area of the first POLYGON ring in spherical-mercator *unit*
+    """Shoelace area of POLYGON / MULTIPOLYGON WKT in spherical-mercator
     coords scaled to the reference's pseudo-meters (EPSG:900913 extent).
-    Fully vectorized: one pandas str parse, one flat coordinate array with
-    per-ring segment boundaries, shoelace via segment-rolled products +
-    ``np.add.reduceat`` — no Python loop over rows. Non-polygons → 0.0."""
+    Ring-aware: each parenthesized ring is shoelaced SIGNED and the signs
+    are summed per row, so holes subtract and multi-outer geometries add
+    (rel_wkt emits outer rings CCW, holes CW — the consistent-orientation
+    contract this relies on); the final value is |sum|. Fully vectorized:
+    one pandas str parse per level, flat coordinate array with per-ring
+    segment boundaries, ``np.add.reduceat`` twice (ring sums, then row
+    sums) — no Python loop over rows. Non-(multi)polygons → 0.0."""
     out = np.zeros(len(wkt), dtype=np.float64)
     s = wkt.astype("string").fillna("")
-    is_poly = s.str.startswith("POLYGON").to_numpy(dtype=bool)
-    nums = s.str.findall(r"-?\d+")
-    npts = np.array([len(v) // 2 for v in nums], dtype=np.int64)
-    take = is_poly & (npts >= 4)
-    if not take.any():
+    is_poly = (
+        s.str.startswith("POLYGON") | s.str.startswith("MULTIPOLYGON")
+    ).to_numpy(dtype=bool)
+    rings = s.str.findall(r"\(([^()]+)\)")  # innermost parens = rings
+    if not is_poly.any():
         return pd.Series(out)
-    rows = np.nonzero(take)[0]
-    lens = npts[rows]
-    flat = np.fromiter(
-        (int(t) for i in rows for t in nums.iloc[i][: 2 * npts[i]]),
-        dtype=np.int64,
-    )
+    num_re = re.compile(r"-?\d+")
+    rows: list[int] = []
+    ring_pts: list[list[str]] = []
+    for i in np.nonzero(is_poly)[0]:
+        for ring in rings.iloc[i]:
+            pts = num_re.findall(ring)
+            if len(pts) >= 8 and len(pts) % 2 == 0:  # >= 4 vertices
+                rows.append(i)
+                ring_pts.append(pts)
+    if not rows:
+        return pd.Series(out)
+    row_idx = np.asarray(rows, dtype=np.int64)
+    lens = np.array([len(p) // 2 for p in ring_pts], dtype=np.int64)
+    flat = np.fromiter((int(t) for p in ring_pts for t in p), dtype=np.int64)
     world = 2 * 20037508.342789244  # mercator extent in meters
     xs = lon_to_unit(flat[0::2]) * world
     ys = (1.0 - lat_to_unit(flat[1::2])) * world  # north-up
@@ -128,5 +142,9 @@ def way_area_merc(wkt: pd.Series) -> pd.Series:
     nxt = np.arange(1, len(xs) + 1)
     nxt[ends] = starts
     terms = xs * ys[nxt] - ys * xs[nxt]
-    out[rows] = 0.5 * np.abs(np.add.reduceat(terms, starts))
+    ring_sums = 0.5 * np.add.reduceat(terms, starts)  # SIGNED per ring
+    row_starts = np.concatenate(
+        [[0], np.nonzero(np.diff(row_idx))[0] + 1]
+    )
+    out[row_idx[row_starts]] = np.abs(np.add.reduceat(ring_sums, row_starts))
     return pd.Series(out)

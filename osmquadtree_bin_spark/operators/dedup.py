@@ -238,7 +238,12 @@ def _partenum_keys(max_hamming: int) -> list:
     return exprs
 
 
-def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
+def simhash_near_pairs(
+    sh: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    dedup_identical: bool = True,
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Exact (candidate
     generation is lossless; a bit_count verify closes it) at every supported
     k <= 11.
@@ -259,12 +264,22 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3, bands: int = 4) -> D
 
     100 TB notes: amplification is bounded and symmetric; signature keys are
     ~8-11 bits per (piece, combo) tag, so bucket load within one tag is
-    ~n/2^sig — for strongly skewed simhash distributions salt the key with a
-    leading bits of the hash itself, or pre-aggregate identical simhashes
-    (dedup on the hash, re-expand after) since exact duplicates all share
-    every key."""
+    ~n/2^sig. ``dedup_identical`` (default ON) is the duplicate-heavy-corpus
+    skew guard: the candidate join runs over ONE representative per DISTINCT
+    simhash (exact duplicates share every key, so a hot hash would otherwise
+    put its whole group in every bucket and the join goes quadratic); member
+    pairs are re-expanded afterwards — cross-hash pairs by joining members
+    back on each side's hash, same-hash pairs (hamming 0) by a per-hash
+    self-join whose size equals the OUTPUT size, i.e. irreducible."""
     if bands < 1 or 64 // bands < 16:
         raise ValueError("bands must keep pieces >= 16 bits (bands <= 4)")
+    if max_hamming >= bands:
+        _partenum_config(max_hamming)  # validate the radius before touching sh
+    src = (
+        sh.groupBy("simhash").agg(F.min("id").alias("id"))
+        if dedup_identical
+        else sh
+    )
     if max_hamming < bands:
         width = 64 // bands
         out = None
@@ -272,17 +287,17 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3, bands: int = 4) -> D
             band = F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
                 F.lit((1 << width) - 1)
             )
-            l = sh.select(
+            l = src.select(
                 F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), band.alias("b")
             )
-            r = sh.select(
+            r = src.select(
                 F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), band.alias("b")
             )
             j = l.join(r, "b").filter(F.col("id_a") < F.col("id_b")).drop("b")
             out = j if out is None else out.unionByName(j)
     else:
         keys = _partenum_keys(max_hamming)
-        kdf = sh.select(
+        kdf = src.select(
             "id", "simhash", F.explode(F.array(*keys)).alias("b")
         )
         l = kdf.select(
@@ -293,12 +308,38 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3, bands: int = 4) -> D
         )
         out = l.join(r, "b").filter(F.col("id_a") < F.col("id_b")).drop("b")
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
+    rep = (
         out.dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+    if not dedup_identical:
+        return rep.select("id_a", "id_b", "hamming")
+    # re-expand representative pairs to member pairs
+    members = sh.select("id", "simhash")
+    cross = (
+        rep.select("h_a", "h_b", "hamming")
+        .join(
+            members.select(F.col("simhash").alias("h_a"), F.col("id").alias("ia")),
+            "h_a",
+        )
+        .join(
+            members.select(F.col("simhash").alias("h_b"), F.col("id").alias("ib")),
+            "h_b",
+        )
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        members.select("simhash", F.col("id").alias("id_a"))
+        .join(members.select("simhash", F.col("id").alias("id_b")), "simhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("integer").alias("hamming"))
+    )
+    return cross.unionByName(intra)
 
 
 # ------------------------------------------------------------ ngram jaccard

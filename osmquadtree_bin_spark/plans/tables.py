@@ -160,6 +160,9 @@ def register_tables(
     elements: DataFrame,
     style_path: str = STYLE_PATH,
     parent_highway: bool = True,
+    relations: DataFrame | None = None,
+    ways: DataFrame | None = None,
+    nodes: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Create temp views planet_osm_point / line / polygon / roads.
 
@@ -168,6 +171,12 @@ def register_tables(
     polygon 2 — with the reference's IsPoly='maybe' area-tag override: a
     POLYGON span tagged ``area=no`` lands in the line table instead
     (``extrastyle.json:9``, IsPoly maybe semantics).
+
+    When ``relations``/``ways``/``nodes`` are given, multipolygon-relation
+    geometries (rel_wkt — ``geometry.Multi``) are assembled and unioned into
+    planet_osm_polygon with NEGATIVE osm_ids and member-LCA quadtrees, the
+    reference's relation-row convention (``osmquadtree-postgis.go:279-284``
+    id sign, ``:265-274`` GeometryType 7 rows).
     """
     style = load_style(style_path)
     node_tags = [s["Tag"] for s in style if s.get("IsNode") and s["Type"] == "text"]
@@ -226,6 +235,37 @@ def register_tables(
         .withColumn("way_area", way_area_merc(F.col("wkt")))
         .select("osm_id", "quadtree", "way", "z_order", "way_area", *proj(way_tags))
     )
+    if relations is not None:
+        from ..operators.element_joins import (
+            node_qts,
+            rel_wkt,
+            relation_qts,
+            way_qts,
+        )
+
+        rq = relation_qts(relations, node_qts(nodes), way_qts(ways, nodes))
+        mp = rel_wkt(relations, ways, nodes).filter(F.col("wkt").isNotNull())
+        rel_tags = (
+            relations.select("id", "tags")
+            if "tags" in relations.columns
+            else relations.select(
+                "id", F.lit(None).cast("map<string,string>").alias("tags")
+            )
+        )
+        mp_rows = (
+            mp.join(rel_tags, "id", "left")
+            .join(rq.withColumnRenamed("qt", "quadtree"), "id", "left")
+            .withColumn("z_order", z_order())
+            .select(
+                (-F.col("id")).alias("osm_id"),  # relation rows: negative ids
+                F.coalesce("quadtree", F.lit(0)).alias("quadtree"),
+                F.col("wkt").alias("way"),
+                "z_order",
+                way_area_merc(F.col("wkt")).alias("way_area"),
+                *proj(way_tags),
+            )
+        )
+        polygon = polygon.unionByName(mp_rows)
 
     point.createOrReplaceTempView("planet_osm_point")
     line.createOrReplaceTempView("planet_osm_line")

@@ -13,7 +13,11 @@ Routes (GET):
     /bbox?minx&miny&maxx&maxy   pruned bbox scan (P1+P6) → GeoJSON
     /query?sql=…&bbox=…         dialect SQL over the bbox's planet_osm
                                 views (§2.8 translate) → JSON rows
-    /extract?minx&…             PIP extract + id-set trim (P4/O2) → GeoJSON
+    /extract?minx&…             PIP extract + id-set trim (P4/O2) → GeoJSON;
+                                &format=parquet downloads the sorted, trimmed
+                                extract as ONE re-ingestible parquet artifact
+                                (the WritePbfIndexed analogue,
+                                ``osmquadtree-filter.go:217``)
 
 Result caching mirrors the reference server exactly: ONE bbox-scan result
 plus THREE raw-tile results (``osmquadtree-geometry.go:235-243`` bbox cache,
@@ -61,25 +65,33 @@ map.on('moveend', refresh); refresh();
 
 
 class _LRU:
+    """Tiny LRU with its own lock: ThreadingHTTPServer handlers call get/put
+    concurrently, and at cache sizes 1 and 3 an unguarded
+    membership-check-then-move_to_end races a concurrent eviction into a
+    KeyError (spurious 500); the hit/miss counters race too."""
+
     def __init__(self, size: int):
         self.size = size
         self.d: OrderedDict = OrderedDict()
         self.hits = 0
         self.misses = 0
+        self._lock = threading.Lock()
 
     def get(self, key):
-        if key in self.d:
-            self.d.move_to_end(key)
-            self.hits += 1
-            return self.d[key]
-        self.misses += 1
-        return None
+        with self._lock:
+            if key in self.d:
+                self.d.move_to_end(key)
+                self.hits += 1
+                return self.d[key]
+            self.misses += 1
+            return None
 
     def put(self, key, value):
-        self.d[key] = value
-        self.d.move_to_end(key)
-        while len(self.d) > self.size:
-            self.d.popitem(last=False)
+        with self._lock:
+            self.d[key] = value
+            self.d.move_to_end(key)
+            while len(self.d) > self.size:
+                self.d.popitem(last=False)
 
 
 class TileServer:
@@ -155,15 +167,44 @@ class TileServer:
             {"rows": [self._jsonable_row(r.asDict()) for r in rows], "n": len(rows)}
         )
 
+    def _extract_df(self, minx: int, miny: int, maxx: int, maxy: int):
+        regions = self.engine.spark.createDataFrame(
+            [("req", "bbox", minx, miny, maxx, maxy, None, None)],
+            "region_id string, kind string, minx long, miny long, "
+            "maxx long, maxy long, lons array<long>, lats array<long>",
+        )
+        return self.engine.extract(regions)
+
     def page_extract(self, minx: int, miny: int, maxx: int, maxy: int) -> str:
         with self._lock:
-            regions = self.engine.spark.createDataFrame(
-                [("req", "bbox", minx, miny, maxx, maxy, None, None)],
-                "region_id string, kind string, minx long, miny long, "
-                "maxx long, maxy long, lons array<long>, lats array<long>",
+            return to_geojson(
+                self._extract_df(minx, miny, maxx, maxy), limit=self.limit
             )
-            out = to_geojson(self.engine.extract(regions), limit=self.limit)
-        return out
+
+    def extract_parquet(self, minx: int, miny: int, maxx: int, maxy: int) -> bytes:
+        """Extract-as-artifact (the ``writefile.WritePbfIndexed`` analogue,
+        ``osmquadtree-filter.go:217``): the trimmed, id-sorted regional
+        extract as ONE parquet file — a re-ingestible table (``spark.read.
+        parquet`` / ``TiledStore``), not a row rendering. Single-file because
+        a download is one stream; the extract is already regional/pruned, so
+        the coalesce(1) is a driver-edge collect-equivalent, not a bulk
+        path."""
+        import glob
+        import shutil
+        import tempfile
+
+        with self._lock:
+            df = self._extract_df(minx, miny, maxx, maxy)
+            tmp = tempfile.mkdtemp(prefix="oqt_extract_")
+            try:
+                # extract() already global-sorts by (type,id); coalesce(1)
+                # concatenates the range-sorted partitions in order
+                df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/out")
+                part = sorted(glob.glob(f"{tmp}/out/part-*.parquet"))[0]
+                with open(part, "rb") as f:
+                    return f.read()
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
 
     @staticmethod
     def _jsonable_row(d: dict) -> dict:
@@ -185,10 +226,19 @@ class TileServer:
                 pass
 
             def _send(self, body: str, ctype: str, code: int = 200) -> None:
-                data = body.encode("utf-8")
+                self._send_bytes(body.encode("utf-8"), ctype, code)
+
+            def _send_bytes(
+                self, data: bytes, ctype: str, code: int = 200,
+                filename: str | None = None,
+            ) -> None:
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(data)))
+                if filename:
+                    self.send_header(
+                        "Content-Disposition", f'attachment; filename="{filename}"'
+                    )
                 self.end_headers()
                 self.wfile.write(data)
 
@@ -216,7 +266,14 @@ class TileServer:
                         self._send(server.page_query(q["sql"], bb), "application/json")
                     elif url.path == "/extract":
                         bb = tuple(int(q[k]) for k in ("minx", "miny", "maxx", "maxy"))
-                        self._send(server.page_extract(*bb), "application/json")
+                        if q.get("format") == "parquet":
+                            self._send_bytes(
+                                server.extract_parquet(*bb),
+                                "application/vnd.apache.parquet",
+                                filename="extract.parquet",
+                            )
+                        else:
+                            self._send(server.page_extract(*bb), "application/json")
                     else:
                         self._send(json.dumps({"error": "not found"}),
                                    "application/json", 404)
@@ -229,11 +286,24 @@ class TileServer:
 
 
 def serve(engine, host: str = "127.0.0.1", port: int = 0,
-          limit: int = DEFAULT_LIMIT) -> tuple[ThreadingHTTPServer, TileServer]:
+          limit: int = DEFAULT_LIMIT,
+          allow_remote: bool = False) -> tuple[ThreadingHTTPServer, TileServer]:
     """Start the server on a background thread; returns (httpd, tile_server).
     ``port=0`` picks a free port (httpd.server_address[1]). Localhost-only by
     default — this sandbox has no egress and the reference server is a
-    LAN-facing tool, not an internet service."""
+    LAN-facing tool, not an internet service.
+
+    Trust model: ``/query`` executes caller-supplied SQL against the Spark
+    session (which can read arbitrary local paths), so every caller is
+    trusted with the driver's filesystem view. Binding a non-loopback host
+    therefore requires the explicit ``allow_remote=True`` opt-in; even then,
+    expose it only to a trusted LAN (the reference server's deployment
+    shape), never the internet."""
+    if host not in ("127.0.0.1", "localhost", "::1") and not allow_remote:
+        raise ValueError(
+            "non-loopback bind requires allow_remote=True (/query executes "
+            "arbitrary SQL with the driver's filesystem access)"
+        )
     ts = TileServer(engine, limit=limit)
     httpd = ThreadingHTTPServer((host, port), ts.make_handler())
     t = threading.Thread(target=httpd.serve_forever, daemon=True)

@@ -212,25 +212,41 @@ class TiledStore:
         FRESH count tree / group walk / assignment (groups re-balance after
         heavy churn), written as a new tiled store at ``out_root``.
 
-        Returns (new_store, counts_pdf, groups_pdf)."""
+        Returns (new_store, counts_pdf, groups_pdf); per-phase wall times
+        (the ``osmquadtree-rebase.go:730-734`` metric shape) are stashed on
+        the returned store as ``new_store.rebase_phases``."""
+        import time
+
         import numpy as np
 
         from ..tiling import assign_tiles, count_tree, find_groups
 
+        phases: dict[str, float] = {}
+
+        def timed(label, fn):
+            t0 = time.perf_counter()
+            r = fn()
+            phases[label] = round(time.perf_counter() - t0, 3)
+            return r
+
         merged = merge_newest(
             self.read().drop("tile_idx", "tile_qt"), diff, version_col
         )
-        n = merged.count()
-        counts = count_tree(merged, n_rows_hint=n)
-        groups = find_groups(
-            counts["cell"].to_numpy(np.int64),
-            counts["cnt"].to_numpy(np.int64),
-            target,
-            minimum,
+        n = timed("merge_count", merged.count)
+        counts = timed("count_tree", lambda: count_tree(merged, n_rows_hint=n))
+        groups = timed(
+            "find_groups",
+            lambda: find_groups(
+                counts["cell"].to_numpy(np.int64),
+                counts["cnt"].to_numpy(np.int64),
+                target,
+                minimum,
+            ),
         )
         assigned = assign_tiles(merged, groups, counts=counts)
         out = TiledStore(self.spark, out_root)
-        out.write_initial(assigned)
+        timed("assign_write", lambda: out.write_initial(assigned))
+        out.rebase_phases = phases
         return out, counts, groups
 
     # ---------------------------------------------------------- catch-up T1

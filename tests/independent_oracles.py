@@ -52,38 +52,13 @@ def _docs_frame(n_docs: int, seed: int = 42) -> pd.DataFrame:
 
 
 def _region_rows(seed: int = 43):
-    """The F3 region-table rows (input contract, not operator) — rebuilt
-    without Spark because ``datagen.gen_regions`` needs a SparkSession just
-    to wrap them in a DataFrame. Drift between this copy and the Spark-side
-    generator is caught by test_independent_oracles (q27 engine==oracle
-    would mismatch)."""
-    rng = np.random.default_rng(seed)
-    rows = []
-    rows.append(("region_hot", "bbox",
-                 int(-0.45 * COORD_SCALE), int(51.2 * COORD_SCALE),
-                 int(0.25 * COORD_SCALE), int(51.8 * COORD_SCALE), None, None))
-    rows.append(("region_empty", "bbox",
-                 int(-140.0 * COORD_SCALE), int(-45.0 * COORD_SCALE),
-                 int(-139.0 * COORD_SCALE), int(-44.0 * COORD_SCALE), None, None))
-    n_bbox, n_poly = 8, 4
-    from osmquadtree_bin_spark.datagen import _coord  # input contract only
+    """The F3 region-table rows (input contract, not operator) — one
+    row-level source of truth shared with ``datagen.gen_regions`` (which
+    only wraps these rows in a Spark DataFrame), so the oracle and engine
+    inputs can never drift."""
+    from osmquadtree_bin_spark.datagen import region_rows  # input contract only
 
-    for i in range(n_bbox - 2):
-        lon, lat = _coord(rng)
-        w = int(rng.integers(100000, 3000000))
-        h = int(rng.integers(100000, 3000000))
-        rows.append((f"region_b{i}", "bbox", lon, lat, lon + w, lat + h, None, None))
-    for i in range(n_poly):
-        lon, lat = _coord(rng)
-        n = int(rng.integers(4, 9))
-        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
-        rad = rng.integers(200000, 2000000, n)
-        lons = (lon + rad * np.cos(ang)).astype(np.int64)
-        lats = (lat + np.clip(rad * np.sin(ang), -80 * COORD_SCALE - lat,
-                              80 * COORD_SCALE - lat)).astype(np.int64)
-        rows.append((f"region_p{i}", "polygon", None, None, None, None,
-                     [int(v) for v in lons], [int(v) for v in lats]))
-    return rows
+    return region_rows(seed=seed)
 
 
 # ================================================== WKT / element extraction
@@ -519,3 +494,143 @@ def oracle_q33(sf_dir: str, threshold: float = 0.999) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["id_a", "id_b", "cos_mil"]).astype(
         {"id_a": "int64", "id_b": "int64", "cos_mil": "int64"}
     )
+
+
+# ====================================== q35: multipolygon relation assembly
+def _mp_ring_close(segs: list) -> tuple[list, list]:
+    """Second implementation of the endpoint-stitch spec (index-scan form,
+    vs the engine's endpoint-indexed dict walk in
+    ``operators/element_joins._stitch_chains``). ``segs``: (way_id, refs,
+    xy) triples. Returns (rings, dropped_way_ids); rings carry
+    (xy_open_ring, way_ids)."""
+    segs = sorted(segs, key=lambda s: s[0])
+    used = [False] * len(segs)
+    rings, dropped = [], []
+    for i, (wid0, refs0, xy0) in enumerate(segs):
+        if used[i]:
+            continue
+        used[i] = True
+        chain_r, chain_xy, wids = list(refs0), list(xy0), [wid0]
+        while chain_r[0] != chain_r[-1]:
+            fwd = [(w, j) for j, (w, rr, _) in enumerate(segs)
+                   if not used[j] and rr[0] == chain_r[-1]]
+            rev = [(w, j) for j, (w, rr, _) in enumerate(segs)
+                   if not used[j] and rr[-1] == chain_r[-1]]
+            if fwd:
+                _w, j = min(fwd)
+                _, rr, xy = segs[j]
+            elif rev:
+                _w, j = min(rev)
+                _, rr, xy = segs[j]
+                rr, xy = list(reversed(rr)), list(reversed(xy))
+            else:
+                break
+            used[j] = True
+            chain_r.extend(rr[1:])
+            chain_xy.extend(xy[1:])
+            wids.append(segs[j][0])
+        if chain_r[0] == chain_r[-1] and len(set(chain_r[:-1])) >= 3:
+            rings.append((chain_xy[:-1], wids))
+        else:
+            dropped.extend(wids)
+    return rings, dropped
+
+
+def _mp_orient(xy: list, want_ccw: bool):
+    """Exact-int shoelace orientation + min-vertex rotation; None if area 0."""
+    total = 0
+    for k in range(len(xy)):
+        ax, ay = xy[k]
+        bx, by = xy[(k + 1) % len(xy)]
+        total += ax * by
+        total -= bx * ay
+    if total == 0:
+        return None
+    ring = list(xy) if (total > 0) == want_ccw else list(reversed(xy))
+    lo = 0
+    for k in range(1, len(ring)):
+        if ring[k] < ring[lo]:
+            lo = k
+    return ring[lo:] + ring[:lo]
+
+
+def _mp_contains(ring: list, px: int, py: int) -> bool:
+    """Even-odd ray cast, exact via Fraction (vs the engine's
+    cross-multiplied integer compare)."""
+    from fractions import Fraction
+
+    hits = 0
+    for k in range(len(ring)):
+        x1, y1 = ring[k]
+        x2, y2 = ring[(k + 1) % len(ring)]
+        if (y1 <= py < y2) or (y2 <= py < y1):
+            xc = Fraction((py - y1) * (x2 - x1), (y2 - y1)) + x1
+            if px < xc:
+                hits += 1
+    return hits % 2 == 1
+
+
+def oracle_q35(n_rels: int = 40, seed: int = 46) -> pd.DataFrame:
+    """Scalar second implementation of the multipolygon assembly spec
+    (role split → stitch → orient/rotate → hole containment → WKT)."""
+    from osmquadtree_bin_spark.datagen import _mp_rows  # input contract only
+
+    nodes, ways, rels = _mp_rows(n_rels, seed)
+    coord = {int(i): (int(x), int(y)) for i, x, y in nodes.itertuples(index=False)}
+    wrefs = {int(i): [int(x) for x in rr] for i, rr in ways.itertuples(index=False)}
+
+    def ring_text(ring):
+        pts = [f"{x} {y}" for x, y in ring]
+        pts.append(pts[0])
+        return "(" + ", ".join(pts) + ")"
+
+    rows = []
+    for rid, members in rels.itertuples(index=False):
+        segs = {"outer": [], "inner": []}
+        dropped = 0
+        seen = False
+        for mt, ref, role in members:
+            if int(mt) != 1 or role not in segs:
+                continue
+            seen = True
+            rr = wrefs.get(int(ref))
+            if rr is None or len(rr) < 2 or any(x not in coord for x in rr):
+                dropped += 1
+                continue
+            segs[role].append((int(ref), rr, [coord[x] for x in rr]))
+        if not seen:
+            continue
+
+        oriented = {"outer": [], "inner": []}
+        for role, want_ccw in (("outer", True), ("inner", False)):
+            rings, dr = _mp_ring_close(segs[role])
+            dropped += len(dr)
+            for xy, wids in rings:
+                norm = _mp_orient(xy, want_ccw)
+                if norm is None:
+                    dropped += len(wids)
+                else:
+                    oriented[role].append((norm, wids))
+        outers = sorted(oriented["outer"], key=lambda r: r[0][0])
+        holes = [[] for _ in outers]
+        for ring, wids in sorted(oriented["inner"], key=lambda r: r[0][0]):
+            for k, (oring, _) in enumerate(outers):
+                if _mp_contains(oring, *ring[0]):
+                    holes[k].append(ring)
+                    break
+            else:
+                dropped += len(wids)
+
+        if not outers:
+            wkt = None
+        else:
+            polys = []
+            for (oring, _), hs in zip(outers, holes):
+                polys.append("(" + ", ".join([ring_text(oring)] + [ring_text(h) for h in hs]) + ")")
+            wkt = ("POLYGON" + polys[0] if len(polys) == 1
+                   else "MULTIPOLYGON(" + ", ".join(polys) + ")")
+        rows.append((int(rid), wkt, len(outers), sum(len(h) for h in holes), dropped))
+
+    out = pd.DataFrame(rows, columns=["id", "wkt", "n_outer", "n_inner", "n_dropped"])
+    return out.astype({"id": "int64", "n_outer": "int32", "n_inner": "int32",
+                       "n_dropped": "int32"})

@@ -71,3 +71,15 @@ def test_oracle_matches(spark, duck, name):
     )
     assert len(got) == len(want), f"{name}: rowcount {len(got)} != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_full_sf_lsh_companions_invariants(spark):
+    """q28b/q29b (rows-only, full-sf LSH): the in-plan invariants hold and
+    the subset counts are threshold-monotone."""
+    qs = entrymod.queries()
+    r28 = qs["q28b_minhash_full_sf"](spark, SF_DIR).collect()[0]
+    assert r28["threshold_ok"] and r28["bound_ok"]
+    assert r28["n_pairs_07"] <= r28["n_pairs_05"]
+    r29 = qs["q29b_simhash_full_sf"](spark, SF_DIR).collect()[0]
+    assert r29["verified_ok"]
+    assert r29["n_pairs_k4"] <= r29["n_pairs_k8"]

@@ -216,3 +216,8 @@ def test_rebase_reproduces_fresh_tiling_on_merged_input(spark, store, tmp_path):
     assert got_rows == want_rows
     # the moved elements live in the root-ancestor group now, and deletes are gone
     assert out.read().count() == assigned.count() - 3
+    # per-phase walls recorded (the osmquadtree-rebase.go:730-734 shape)
+    assert set(out.rebase_phases) == {
+        "merge_count", "count_tree", "find_groups", "assign_write"
+    }
+    assert all(v >= 0 for v in out.rebase_phases.values())

@@ -82,6 +82,12 @@ def test_q33_near_dup_vs_bruteforce_cosine(spark, entry_queries):
     )
 
 
+def test_q35_multipolygon_vs_scalar_assembly(spark, entry_queries):
+    _assert_match(
+        entry_queries["q35_multipolygon_assembly"](spark, SF_DIR), io.oracle_q35(40)
+    )
+
+
 def test_fixtures_were_generated_from_oracles():
     """The committed fixture parquets must equal the oracle output — i.e.
     regenerating them is a no-op and the driver's gate compares against the
@@ -98,6 +104,7 @@ def test_fixtures_were_generated_from_oracles():
             "q30_multimodal_features": io.oracle_q30(100 * mult),
             "q32_ivf_topk": io.oracle_q32(sf_dir),
             "q33_embedding_near_dup": io.oracle_q33(sf_dir),
+            "q35_multipolygon_assembly": io.oracle_q35(40 * mult),
         }
         for name, odf in frames.items():
             path = os.path.join(REPO, "tests", "golden", "oracle", sf, f"{name}.parquet")

@@ -128,3 +128,65 @@ def test_status_and_errors(served):
         _get(base + "/bbox?minx=-1790000000&miny=-800000000&maxx=1790000000&maxy=800000000")
     assert e.value.code == 400  # ValueError from the reference guard → client error
     assert "bbox too large" in json.loads(e.value.read().decode())["error"]
+
+
+def test_extract_parquet_artifact_roundtrip(served, tmp_path):
+    """/extract?format=parquet returns a single re-ingestible parquet file
+    (the WritePbfIndexed analogue): reading the downloaded bytes back
+    through a fresh Spark scan row-matches the engine-side extract, keeps
+    the id sort, and re-tiles cleanly through TiledStore."""
+    base, _, engine = served
+    bb = dict(minx=-4500000, miny=510000000, maxx=2500000, maxy=520000000)
+    qs = "&".join(f"{k}={v}" for k, v in bb.items())
+    req = urllib.request.Request(f"{base}/extract?{qs}&format=parquet")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/vnd.apache.parquet"
+        assert "extract.parquet" in r.headers.get("Content-Disposition", "")
+        blob = r.read()
+    path = tmp_path / "extract.parquet"
+    path.write_bytes(blob)
+
+    spark = engine.spark
+    back = spark.read.parquet(str(path))
+    regions = spark.createDataFrame(
+        [("req", "bbox", bb["minx"], bb["miny"], bb["maxx"], bb["maxy"], None, None)],
+        "region_id string, kind string, minx long, miny long, "
+        "maxx long, maxy long, lons array<long>, lats array<long>",
+    )
+    want = engine.extract(regions).toPandas()
+    got = back.toPandas()
+    assert len(got) == len(want) > 0
+    assert sorted(got.columns) == sorted(want.columns)
+    cols = sorted(want.columns)
+
+    def canon(df):
+        # map/list cells (tags) aren't hashable — stringify for sort/compare
+        out = df[cols].copy()
+        for c in cols:
+            if out[c].dtype == object:
+                out[c] = out[c].map(lambda v: json.dumps(v, sort_keys=True, default=str))
+        return out.sort_values(cols).reset_index(drop=True)
+
+    assert canon(got).equals(canon(want))
+
+    # re-ingest: fresh tiling over the downloaded artifact
+    from osmquadtree_bin_spark.streaming.update import TiledStore
+    from osmquadtree_bin_spark.tiling import assign_tiles, count_tree, find_groups
+
+    counts = count_tree(back)
+    groups = find_groups(
+        counts["cell"].to_numpy(np.int64), counts["cnt"].to_numpy(np.int64), 200, 100
+    )
+    store = TiledStore(spark, str(tmp_path / "reingested"))
+    store.write_initial(assign_tiles(back, groups, counts=counts))
+    assert store.read().count() == len(want)
+
+
+def test_serve_rejects_non_loopback_without_optin():
+    """/query executes arbitrary SQL with the driver's filesystem access —
+    non-loopback binds need the explicit allow_remote opt-in."""
+    from osmquadtree_bin_spark.server import serve
+
+    with pytest.raises(ValueError, match="allow_remote"):
+        serve(None, host="0.0.0.0")

@@ -446,3 +446,51 @@ def test_sample_frames_fanout(spark, docs):
     a = frames.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True)
     b = f2.sort_values(["media_ref", "frame_idx"]).reset_index(drop=True)
     assert [bytes(x) for x in a["frame_payload"]] == [bytes(x) for x in b["frame_payload"]]
+
+
+def test_simhash_dedup_identical_exact_vs_plain(spark):
+    """The duplicate-heavy skew guard (dedup_identical=True, the default)
+    produces the EXACT same pair list as the plain per-row candidate join:
+    duplicate groups (hamming-0 intra pairs), cross-group near pairs, and
+    singletons all round-trip through the rep-level join + re-expansion."""
+    rng = np.random.default_rng(11)
+    rows, i = [], 0
+    for h in rng.integers(-(2**62), 2**62, 12, dtype=np.int64):
+        for _ in range(int(rng.integers(1, 6))):  # duplicate group
+            rows.append((i, int(h)))
+            i += 1
+        rows.append((i, int(h) ^ (1 << int(rng.integers(0, 32)))))  # 1-bit near
+        i += 1
+    sh = spark.createDataFrame(rows, "id long, simhash long")
+    key = ["id_a", "id_b", "hamming"]
+    a = simhash_near_pairs(sh, max_hamming=8, dedup_identical=True).toPandas()
+    b = simhash_near_pairs(sh, max_hamming=8, dedup_identical=False).toPandas()
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(key).reset_index(drop=True),
+        b[key].sort_values(key).reset_index(drop=True),
+    )
+    assert (a["hamming"] == 0).sum() > 0  # duplicate groups actually exercised
+
+
+def test_simhash_duplicate_heavy_corpus_bounded(spark):
+    """10k exact-duplicate docs + 5 one-bit neighbours: the candidate join
+    sees ONE row per distinct hash (max PartEnum bucket load = n_distinct,
+    not n_docs — the 100 TB crawl-corpus skew case), while the expanded
+    output still enumerates every pair exactly:
+    C(10000,2) + 10000*5 + C(5,2)."""
+    from osmquadtree_bin_spark.operators.dedup import _partenum_keys
+
+    n_dup, n_near = 10_000, 5
+    h = 0x0123_4567_89AB_CDEF
+    rows = [(i, h) for i in range(n_dup)] + [
+        (n_dup + j, h ^ (1 << j)) for j in range(n_near)
+    ]
+    sh = spark.createDataFrame(rows, "id long, simhash long")
+
+    uniq = sh.groupBy("simhash").agg(F.min("id").alias("id"))
+    kdf = uniq.select(F.explode(F.array(*_partenum_keys(8))).alias("b"))
+    max_bucket = kdf.groupBy("b").count().agg(F.max("count")).collect()[0][0]
+    assert max_bucket <= 1 + n_near  # bounded by distinct hashes, not rows
+
+    want = n_dup * (n_dup - 1) // 2 + n_dup * n_near + n_near * (n_near - 1) // 2
+    assert simhash_near_pairs(sh, max_hamming=8).count() == want

@@ -194,14 +194,19 @@ def scaling_job(
 
 
 def _scaling_body(spark, tmp: str, cpus: int, n_docs: int = N_DOCS_SCALING) -> dict:
+    """North-rule measurement body. The prepare phases (parse_qt →
+    count_tree → find_groups → assign_write_tiled) run through
+    ``jobs.prepare_job.prepare_pipeline`` — the SAME code path the shipped
+    spark-submit job executes — so the measured pipeline is literally the
+    shipped job (VERDICT r3 #9), plus a PIP join and byte-budget
+    instrumentation that only the bench needs. ``partition_by_tile=False``:
+    the per-tile directory fan-out is a store-layout choice, not part of the
+    measured shuffle+sort+write (the job exposes the same flag)."""
     from pyspark.sql import functions as F
 
+    from jobs.prepare_job import prepare_pipeline
     from osmquadtree_bin_spark.datagen import gen_docs_dist, gen_regions
     from osmquadtree_bin_spark.operators.pip_join import pip_join
-    from osmquadtree_bin_spark.spans import explode_geoms
-    from osmquadtree_bin_spark.tiling import assign_tiles, count_tree, find_groups
-
-    import numpy as np
 
     gen_docs_dist(spark, n_docs=n_docs, seed=42, partitions=cpus * 4).write.mode(
         "overwrite"
@@ -210,84 +215,36 @@ def _scaling_body(spark, tmp: str, cpus: int, n_docs: int = N_DOCS_SCALING) -> d
     regions = gen_regions(spark)
 
     def run_pipeline(run_idx: int) -> tuple[dict, int, int]:
-        stages: dict[str, float] = {}
-
-        def timed(label, fn):
-            s0 = time.perf_counter()
-            r = fn()
-            stages[label] = round(time.perf_counter() - s0, 3)
-            return r
-
-        # phase 1 (the real prepare shape, §3.1): parse spans + compute qt,
-        # materialize the slim elements table ONCE — downstream consumers
-        # read the columnar file instead of re-running the parse chain
-        # (Spark's in-memory persist measured 50-80× slower than this).
-        # The hot table carries NO strings: the packed id already encodes
-        # (doc seq, span_idx) — doc_id is reconstructed with format_string
-        # only where an output needs it. At planet scale the doc_id string
-        # is ~1/4 of the bytes moved per shuffle/scan.
-        # storage downcasts (the reference's convention: int32 fixed-point
-        # coords): bbox int64→int32 and geom_type→tinyint cut ~30% of the
-        # bytes every downstream scan/shuffle/write moves. ANSI mode makes
-        # the cast loud if a coordinate ever exceeded 32 bits.
-        el_path = f"{tmp}/elements_{run_idx}"
-        timed(
-            "parse_qt",
-            lambda: explode_geoms(docs)
-            .select(
-                "id",
-                "qt",
-                F.col("minx").cast("int").alias("minx"),
-                F.col("miny").cast("int").alias("miny"),
-                F.col("maxx").cast("int").alias("maxx"),
-                F.col("maxy").cast("int").alias("maxy"),
-                F.col("geom_type").cast("tinyint").alias("geom_type"),
-            )
-            .write.mode("overwrite")
-            .parquet(el_path),
+        stages, arts = prepare_pipeline(
+            spark,
+            docs,
+            tmp,
+            target=8000,
+            minimum=4000,
+            run_tag=f"_{run_idx}",
+            partition_by_tile=False,
         )
-        stages["parse_qt_out_mb"] = round(_du(el_path) / 1e6, 1)
-        slim = spark.read.parquet(el_path)
-        # derive lineage columns from the packed id (bits: type >= 59,
-        # low 40 = seq*64 + span_idx) — JVM exprs, no extra storage
+        n_elements = arts["n_elements"]
+        # byte-budget instrumentation (bench-only): sizes of the two
+        # bandwidth-bound materializations
+        stages["parse_qt_out_mb"] = round(_du(arts["elements_path"]) / 1e6, 1)
+        stages["tiled_out_mb"] = round(_du(arts["tiled_path"]) / 1e6, 1)
+        stages["tiled_write_mb_per_s"] = round(
+            stages["tiled_out_mb"] / stages["assign_write_tiled"], 1
+        )
+        # PIP join over the slim table; lineage columns derived from the
+        # packed id (bits: type >= 59, low 40 = seq*64 + span_idx) — JVM
+        # exprs, no extra storage (the hot table carries NO strings)
+        slim = spark.read.parquet(arts["elements_path"])
         seq = F.col("id").bitwiseAND(F.lit((1 << 40) - 1))
         elements = slim.withColumn(
             "doc_id", F.format_string("doc_%08d", (seq / 64).cast("long"))
         ).withColumn("span_idx", (seq % 64).cast("int"))
-        n_elements = slim.count()
-        counts = timed(
-            "count_tree", lambda: count_tree(slim, n_rows_hint=n_elements)
-        )
-        groups = timed(
-            "find_groups",
-            lambda: find_groups(
-                counts["cell"].to_numpy(np.int64), counts["cnt"].to_numpy(np.int64),
-                target=8000, minimum=4000,
-            ),
-        )
-        # phase 4: shuffle to tiles and write the tiled table (the S8 sink) —
-        # the tiled store is string-free (serving layers derive doc_id) AND
-        # tile_qt-free: tile_qt is constant per tile_idx and recoverable from
-        # the broadcast groups frame at read time, so carrying it through the
-        # shuffle+write is 8 wasted bytes/row on the bandwidth-bound stage
-        assigned = assign_tiles(slim, groups, counts=counts).drop(
-            "tile_qt"
-        ).withColumn("tile_idx", F.col("tile_idx").cast("int"))
-        timed(
-            "assign_write_tiled",
-            lambda: assigned.repartition(F.col("tile_idx"))
-            .sortWithinPartitions("tile_idx", "id")
-            .write.mode("overwrite")
-            .parquet(f"{tmp}/tiled_{run_idx}"),
-        )
-        stages["tiled_out_mb"] = round(_du(f"{tmp}/tiled_{run_idx}") / 1e6, 1)
-        stages["tiled_write_mb_per_s"] = round(
-            stages["tiled_out_mb"] / stages["assign_write_tiled"], 1
-        )
-        n_assigned = n_elements
         pip = pip_join(elements, regions)
-        n_pip = timed("pip", pip.count)
-        return stages, n_assigned + n_pip, n_elements
+        t0 = time.perf_counter()
+        n_pip = pip.count()
+        stages["pip"] = round(time.perf_counter() - t0, 3)
+        return stages, n_elements + n_pip, n_elements
 
     # warm-up pass: python worker spawn, codegen JIT, shuffle file creation —
     # identical one-time costs at both levels that would otherwise mask

@@ -51,6 +51,10 @@ def main() -> int:
             continue
         try:
             sp = fn(spark, sf).toPandas()
+            # q26/q27 persist their generated input and can't unpersist
+            # before the caller consumes the plan — evict between queries so
+            # cached frames don't accumulate over the 35+-query session
+            spark.catalog.clearCache()
             if name not in osql:
                 results[name] = {"rows": len(sp), "oracle": None, "ok": "rows-only"}
                 continue

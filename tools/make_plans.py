@@ -187,6 +187,34 @@ def main() -> None:
         and ("ObjectHashAggregate" in p or "SortAggregate" in p),
     )
 
+    # --- q35 multipolygon assembly: distributed point join JVM-side, the
+    # per-relation ring stitch the ONLY Python stage (applyInPandas) --------
+    p = executed(entry.queries()["q35_multipolygon_assembly"](spark, SF_DIR))
+    check(
+        "q35 rel_wkt: one applyInPandas stitch, rest JVM (join/agg/sort)",
+        f"{p.count('FlatMapGroupsInPandas')}x FlatMapGroupsInPandas; "
+        "no row-at-a-time BatchEvalPython",
+        p.count("FlatMapGroupsInPandas") == 1 and "BatchEvalPython" not in p,
+    )
+
+    # --- full-sf LSH companions stay JVM-side -------------------------------
+    p = executed(entry.queries()["q28b_minhash_full_sf"](spark, SF_DIR))
+    check(
+        "q28b minhash full-sf: banded equi-join, zero Python, no BNL",
+        "no EvalPython/BroadcastNestedLoop/Cartesian in plan",
+        "EvalPython" not in p
+        and "BroadcastNestedLoop" not in p
+        and "CartesianProduct" not in p,
+    )
+    p = executed(entry.queries()["q29b_simhash_full_sf"](spark, SF_DIR))
+    check(
+        "q29b simhash full-sf (dedup_identical skew guard): equi-joins only",
+        "no EvalPython/BroadcastNestedLoop/Cartesian in plan",
+        "EvalPython" not in p
+        and "BroadcastNestedLoop" not in p
+        and "CartesianProduct" not in p,
+    )
+
     # --- write PLANS.md ----------------------------------------------------
     ok_all = all(ok for _, _, ok in rows)
     lines = [

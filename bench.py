@@ -138,11 +138,26 @@ def _master_for(cpus: int, mode: str, exec_cores: int | None = None) -> tuple[st
     return f"local-cluster[{workers},{ec},{EXEC_MEM_MB}]", extra
 
 
+def _cpu_probe() -> float:
+    """Fixed single-thread integer work (~1s on an idle core) run at the
+    START of every scaling level: if the box is being shared, this wall
+    inflates, so the level-to-level spread is a built-in contention
+    detector (the 15:33 r3 run was silently contaminated by a neighbor —
+    this makes that failure mode self-reporting)."""
+    t0 = time.perf_counter()
+    x, a = 123456789, 0
+    for _ in range(8_000_000):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+        a ^= x
+    return time.perf_counter() - t0
+
+
 def scaling_job(
     cpus: int,
     mode: str = "local",
     exec_cores: int | None = None,
     n_docs: int | None = None,
+    input_parts: int | None = None,
 ) -> dict:
     """The north-rule job: tile assignment over interleaved docs + PIP join.
     Returns rows processed + wall seconds (one driver at local[cpus] or
@@ -183,9 +198,12 @@ def scaling_job(
     # cluster's distributed FS bandwidth grows with executors, which tmpfs
     # models honestly on one box.
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    probe = _cpu_probe()
     tmp = tempfile.mkdtemp(prefix=f"oqt_scaling_{cpus}_", dir=shm)
     try:
-        return _scaling_body(spark, tmp, cpus, n_docs or N_DOCS_SCALING)
+        res = _scaling_body(spark, tmp, cpus, n_docs or N_DOCS_SCALING, input_parts)
+        res["cpu_probe_sec"] = round(probe, 3)
+        return res
     finally:  # a crashed run must not leak multi-GB tmpfs dirs
         spark.stop()
         import shutil
@@ -193,7 +211,13 @@ def scaling_job(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _scaling_body(spark, tmp: str, cpus: int, n_docs: int = N_DOCS_SCALING) -> dict:
+def _scaling_body(
+    spark,
+    tmp: str,
+    cpus: int,
+    n_docs: int = N_DOCS_SCALING,
+    input_parts: int | None = None,
+) -> dict:
     """North-rule measurement body. The prepare phases (parse_qt →
     count_tree → find_groups → assign_write_tiled) run through
     ``jobs.prepare_job.prepare_pipeline`` — the SAME code path the shipped
@@ -201,14 +225,23 @@ def _scaling_body(spark, tmp: str, cpus: int, n_docs: int = N_DOCS_SCALING) -> d
     shipped job (VERDICT r3 #9), plus a PIP join and byte-budget
     instrumentation that only the bench needs. ``partition_by_tile=False``:
     the per-tile directory fan-out is a store-layout choice, not part of the
-    measured shuffle+sort+write (the job exposes the same flag)."""
+    measured shuffle+sort+write (the job exposes the same flag). The job's
+    ``lineage`` phase (per-tile audit table — rows written vs the group
+    walk's expected counts) is part of the measured pipeline since r4: the
+    north rule's job includes per-partition lineage + row-count metrics."""
     from pyspark.sql import functions as F
 
     from jobs.prepare_job import prepare_pipeline
     from osmquadtree_bin_spark.datagen import gen_docs_dist, gen_regions
     from osmquadtree_bin_spark.operators.pip_join import pip_join
 
-    gen_docs_dist(spark, n_docs=n_docs, seed=42, partitions=cpus * 4).write.mode(
+    # FIXED input layout across parallelism levels: a real cluster reads the
+    # SAME table at N and 4N executors, so the staged file count must not
+    # depend on this level's core count (cpus*4 here previously gave the 4N
+    # level 4x more files — different scan splits AND 4x more count-tree
+    # partial-agg output than the N level saw)
+    parts = input_parts or max(SCALING_LEVELS) * 4
+    gen_docs_dist(spark, n_docs=n_docs, seed=42, partitions=parts).write.mode(
         "overwrite"
     ).parquet(f"{tmp}/docs")
     docs = spark.read.parquet(f"{tmp}/docs")
@@ -465,25 +498,37 @@ N_DOCS_KNEE = int(os.environ.get("BENCH_KNEE_DOCS", "5000000"))
 def _measure_pair(
     n: int, n4: int, exec_cores: int, n_docs: int, modes=("cluster", "local")
 ) -> dict:
-    """One N→4N measurement (each level in its own subprocess/JVM set)."""
+    """One N→4N measurement (each level in its own subprocess/JVM set).
+    Both levels stage the input with the SAME partition count (n4*4) —
+    a cluster reads one table layout regardless of its size."""
     factor = n4 / n
+    parts = n4 * 4
     results: dict[str, dict[int, dict]] = {}
     for mode in modes:
         results[mode] = {}
         for cpus in (n, n4):
             results[mode][cpus] = _sub_json(
-                ["--single-scaling", str(cpus), mode, str(exec_cores), str(n_docs)]
+                [
+                    "--single-scaling", str(cpus), mode, str(exec_cores),
+                    str(n_docs), str(parts),
+                ]
             )
 
     def eff(mode: str) -> float:
         r = results[mode]
         return round(r[n4]["rows_per_sec"] / (factor * r[n]["rows_per_sec"]), 4)
 
+    probes = [results[m][c].get("cpu_probe_sec") for m in modes for c in (n, n4)]
+    probes = [p for p in probes if p]
     rec = {
         "n_docs": n_docs,
         "levels": [n, n4],
         "exec_cores": exec_cores,
         "calib_raw_cpu": calibrate_raw_cpu(n, n4),
+        # per-level single-thread probe walls + spread: >~1.25 means the box
+        # was NOT equally idle across levels and the pair is suspect
+        "cpu_probes": probes,
+        "probe_spread": round(max(probes) / min(probes), 3) if probes else None,
     }
     for mode in modes:
         rec[mode] = {str(c): results[mode][c] for c in (n, n4)}
@@ -611,7 +656,8 @@ def _knee_lines(record: dict) -> list[str]:
         "",
         f"**Below-knee scaling efficiency {kn}→{kn4}: "
         f"{knee['efficiency_cluster']}** (no-engine ceiling at the same "
-        f"step: {raw['efficiency']}).",
+        f"step: {raw['efficiency']}). Probe walls {knee.get('cpu_probes')} s, "
+        f"spread {knee.get('probe_spread')}.",
         "",
         f"| stage | {kn // ec} exec | {kn4 // ec} exec | efficiency |",
         "|---|---|---|---|",
@@ -700,6 +746,12 @@ def _write_bench_md(record: dict, history: list[dict]) -> None:
         "(north-rule target ≥ 0.8). "
         f"Thread-mode local[{n}]→local[{n4}]: {record['efficiency_local']}.",
         "",
+        f"Contention self-check: a fixed single-thread CPU probe at each "
+        f"level's start measured walls {record.get('cpu_probes')} s — "
+        f"spread {record.get('probe_spread')} (a spread ≳1.25 would mean "
+        "the box was not equally idle across levels; the r3 15:33 run "
+        "failed exactly this way, silently).",
+        "",
         *_knee_lines(record),
         f"## Per-stage scaling — executor mode (wall s at {n // ec}× / "
         f"{n4 // ec}× executors / eff)",
@@ -767,6 +819,10 @@ def _write_bench_md(record: dict, history: list[dict]) -> None:
         "",
         "## Shared-host variance (computed from history)",
         "",
+        "Runs flagged `contaminated` in BENCH_SCALING_HISTORY.json (shared-box "
+        "contention detected from impossible level walls) are excluded from "
+        "the min/max below and marked ⚠ in the round-over-round table.",
+        "",
         (
             lambda effs, raws: (
                 f"Across the {len(effs)} full measurement(s) in history, the "
@@ -777,7 +833,7 @@ def _write_bench_md(record: dict, history: list[dict]) -> None:
                 f"(min {min(effs)}, max {max(effs)}). Best-measured "
                 f"executor-mode efficiency: **{max(effs)}**; best-measured "
                 "4N throughput: "
-                f"**{max(h['cluster'][str(h['levels'][1])]['rows_per_sec'] for h in history):,.0f} rows/s** "
+                f"**{max(h['cluster'][str(h['levels'][1])]['rows_per_sec'] for h in history if not h.get('contaminated')):,.0f} rows/s** "
                 "(executor mode). The honest reading: at 32 cores this box "
                 "tops out at ~1.2-1.3M rows/s for this job in EVERY "
                 "configuration while its own no-engine ceiling is "
@@ -786,8 +842,8 @@ def _write_bench_md(record: dict, history: list[dict]) -> None:
                 "executor brings on a real cluster."
             )
         )(
-            [h["efficiency_cluster"] for h in history],
-            [h["calib_raw_cpu"]["efficiency"] for h in history],
+            [h["efficiency_cluster"] for h in history if not h.get("contaminated")],
+            [h["calib_raw_cpu"]["efficiency"] for h in history if not h.get("contaminated")],
         ),
         "",
         "## Round-over-round (same job, this box)",
@@ -797,13 +853,15 @@ def _write_bench_md(record: dict, history: list[dict]) -> None:
         "| r1 (2026-08-15) | 4→16 | thread | 322,019 | 0.23 | 3M | ",
         "| r2 (2026-08-16) | 8→32 | thread | 1,122,055 | 0.52 | 20M | ",
         *[
-            f"| {h['date']} | {h['levels'][0]}→{h['levels'][1]} | executor | "
+            f"| {h['date']}{' ⚠contaminated' if h.get('contaminated') else ''} | "
+            f"{h['levels'][0]}→{h['levels'][1]} | executor | "
             f"{h['cluster'][str(h['levels'][1])]['rows_per_sec']:,.0f} | "
             f"{h['efficiency_cluster']} | {h['n_docs'] // 1_000_000}M |"
             for h in history
         ],
         *[
-            f"| {h['date']} | {h['levels'][0]}→{h['levels'][1]} | thread | "
+            f"| {h['date']}{' ⚠contaminated' if h.get('contaminated') else ''} | "
+            f"{h['levels'][0]}→{h['levels'][1]} | thread | "
             f"{h['local'][str(h['levels'][1])]['rows_per_sec']:,.0f} | "
             f"{h['efficiency_local']} | {h['n_docs'] // 1_000_000}M |"
             for h in history
@@ -843,7 +901,8 @@ def main() -> None:
         mode = sys.argv[3] if len(sys.argv) > 3 else "local"
         ec = int(sys.argv[4]) if len(sys.argv) > 4 else None
         nd = int(sys.argv[5]) if len(sys.argv) > 5 else None
-        print(json.dumps(scaling_job(int(sys.argv[2]), mode, ec, nd)))
+        ip = int(sys.argv[6]) if len(sys.argv) > 6 else None
+        print(json.dumps(scaling_job(int(sys.argv[2]), mode, ec, nd, ip)))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--calibrate-jvm":
         print(json.dumps(jvm_calib_job(int(sys.argv[2]))))

@@ -8,16 +8,23 @@ Writes under --output:
     elements/         slim staged elements (id, qt, int32 bbox, int8 geom_type)
     tiles/            tile-partitioned, id-sorted elements (S8)
     assignments/      (id, qt, tile_idx) — the golden S9 output
+    lineage/          per-tile audit: (tile_idx, tile_qt, rows,
+                      expected_rows) — the north rule's per-partition
+                      lineage + row-count metrics
+    checkpoint.json   pinned job parameters for --resume param-safety
     qts.txt           count-tree dump, reference "%6d %s" format (S12)
     groups.txt        tile-group dump (S12)
     metrics.json      per-phase wall times (the reference's self-report,
                       osmquadtree-prepare.go:301-305): parse_qt, count_tree,
-                      find_groups, assign_write_tiled — the SAME phases
-                      bench.py's scaling measurement times, because both run
-                      ``prepare_pipeline`` (the one shipped code path)
+                      find_groups, assign_write_tiled, lineage — the SAME
+                      phases bench.py's scaling measurement times, because
+                      both run ``prepare_pipeline`` (the one shipped code
+                      path) — plus resumed_phases
 
 ``--gen-docs N`` generates a deterministic synthetic input instead of
---input (sandbox/demo mode).
+--input (sandbox/demo mode). ``--resume`` re-enters a killed run, skipping
+phases whose output committed (_SUCCESS): a 10^12-doc job that died after
+the elements stage redoes only the cheap driver phases + the tiled write.
 """
 
 from __future__ import annotations
@@ -31,6 +38,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _phase_complete(path: str) -> bool:
+    """A parquet phase output is a checkpoint iff Spark committed it
+    (_SUCCESS marker — partial output from a killed run has none). Local-fs
+    check here; on HDFS/S3 the same marker is probed through the Hadoop FS
+    API."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def prepare_pipeline(
     spark,
     docs,
@@ -39,6 +54,8 @@ def prepare_pipeline(
     minimum: int = 4000,
     run_tag: str = "",
     partition_by_tile: bool = True,
+    resume: bool = False,
+    lineage: bool = True,
 ) -> tuple[dict, dict]:
     """THE prepare pipeline (§3.1) — the one code path both the shipped
     spark-submit job (``main`` below) and ``bench.py``'s north-rule scaling
@@ -52,9 +69,22 @@ def prepare_pipeline(
       find_groups         serial group walk over the collected tree
       assign_write_tiled  counts-backed ONE-broadcast-join assignment →
                           repartition(tile_idx) → sorted tiled write
+      lineage             per-tile audit table (tile_idx, tile_qt, rows,
+                          expected_rows): actual written row counts vs the
+                          group walk's expected counts — the north rule's
+                          per-partition lineage + row-count metrics
 
-    Returns (stages, artifacts): artifacts carries elements/tiled paths, the
-    counts/groups frames, and n_elements."""
+    **Resumable** (``resume=True``): the two expensive phases checkpoint
+    through their committed parquet output (_SUCCESS marker) — a killed
+    10^12-doc run re-entered with ``--resume`` skips parse_qt and/or the
+    tiled write if their outputs committed, recomputing only the cheap
+    driver-side phases (count tree / group walk are deterministic over the
+    staged elements, so the skipped phases' inputs are bit-identical).
+    ``checkpoint.json`` pins (target, minimum, partition_by_tile); resuming
+    with different parameters raises instead of silently mixing layouts.
+
+    Returns (stages, artifacts): artifacts carries elements/tiled/lineage
+    paths, the counts/groups frames, n_elements, and ``resumed_phases``."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -62,6 +92,7 @@ def prepare_pipeline(
     from osmquadtree_bin_spark.tiling import assign_tiles, count_tree, find_groups
 
     stages: dict[str, float] = {}
+    resumed: list[str] = []
 
     def timed(label, fn):
         t0 = time.perf_counter()
@@ -69,22 +100,41 @@ def prepare_pipeline(
         stages[label] = round(time.perf_counter() - t0, 3)
         return r
 
+    params = {
+        "target": target, "minimum": minimum,
+        "partition_by_tile": partition_by_tile,
+    }
+    os.makedirs(work_dir, exist_ok=True)
+    ckpt_path = os.path.join(work_dir, f"checkpoint{run_tag}.json")
+    if resume and os.path.exists(ckpt_path):
+        with open(ckpt_path) as f:
+            prev = json.load(f)
+        if prev != params:
+            raise ValueError(
+                f"resume with different parameters: checkpoint has {prev}, "
+                f"caller passed {params} — rerun without resume or match them"
+            )
+
     el_path = os.path.join(work_dir, f"elements{run_tag}")
-    timed(
-        "parse_qt",
-        lambda: explode_geoms(docs)
-        .select(
-            "id",
-            "qt",
-            F.col("minx").cast("int").alias("minx"),
-            F.col("miny").cast("int").alias("miny"),
-            F.col("maxx").cast("int").alias("maxx"),
-            F.col("maxy").cast("int").alias("maxy"),
-            F.col("geom_type").cast("tinyint").alias("geom_type"),
+    if resume and _phase_complete(el_path):
+        stages["parse_qt"] = 0.0
+        resumed.append("parse_qt")
+    else:
+        timed(
+            "parse_qt",
+            lambda: explode_geoms(docs)
+            .select(
+                "id",
+                "qt",
+                F.col("minx").cast("int").alias("minx"),
+                F.col("miny").cast("int").alias("miny"),
+                F.col("maxx").cast("int").alias("maxx"),
+                F.col("maxy").cast("int").alias("maxy"),
+                F.col("geom_type").cast("tinyint").alias("geom_type"),
+            )
+            .write.mode("overwrite")
+            .parquet(el_path),
         )
-        .write.mode("overwrite")
-        .parquet(el_path),
-    )
     slim = spark.read.parquet(el_path)
     n_elements = slim.count()
     counts = timed("count_tree", lambda: count_tree(slim, n_rows_hint=n_elements))
@@ -97,33 +147,65 @@ def prepare_pipeline(
             minimum,
         ),
     )
-    # the tiled store is tile_qt-free (recoverable from the broadcast groups
-    # frame at read time — 8 wasted bytes/row through the bandwidth-bound
-    # shuffle+write otherwise) and int32 tile_idx
-    assigned = (
-        assign_tiles(slim, groups, counts=counts)
-        .drop("tile_qt")
-        .withColumn("tile_idx", F.col("tile_idx").cast("int"))
-    )
     tiled_path = os.path.join(work_dir, f"tiles{run_tag}")
-
-    def write():
-        w = (
-            assigned.repartition(F.col("tile_idx"))
-            .sortWithinPartitions("tile_idx", "id")
-            .write.mode("overwrite")
+    if resume and _phase_complete(tiled_path):
+        stages["assign_write_tiled"] = 0.0
+        resumed.append("assign_write_tiled")
+    else:
+        # the tiled store is tile_qt-free (recoverable from the broadcast
+        # groups frame at read time — 8 wasted bytes/row through the
+        # bandwidth-bound shuffle+write otherwise) and int32 tile_idx
+        assigned = (
+            assign_tiles(slim, groups, counts=counts)
+            .drop("tile_qt")
+            .withColumn("tile_idx", F.col("tile_idx").cast("int"))
         )
-        if partition_by_tile:
-            w = w.partitionBy("tile_idx")
-        w.parquet(tiled_path)
 
-    timed("assign_write_tiled", write)
+        def write():
+            w = (
+                assigned.repartition(F.col("tile_idx"))
+                .sortWithinPartitions("tile_idx", "id")
+                .write.mode("overwrite")
+            )
+            if partition_by_tile:
+                w = w.partitionBy("tile_idx")
+            w.parquet(tiled_path)
+
+        timed("assign_write_tiled", write)
+
+    lineage_path = os.path.join(work_dir, f"lineage{run_tag}")
+    if lineage:
+        gdf = spark.createDataFrame(
+            groups.rename(columns={"cnt": "expected_rows"})[
+                ["tile_idx", "tile_qt", "expected_rows"]
+            ]
+        )
+        timed(
+            "lineage",
+            lambda: spark.read.parquet(tiled_path)
+            .groupBy(F.col("tile_idx").cast("long").alias("tile_idx"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .join(F.broadcast(gdf), "tile_idx", "full")
+            .select(
+                "tile_idx",
+                "tile_qt",
+                F.coalesce("rows", F.lit(0)).alias("rows"),
+                F.coalesce("expected_rows", F.lit(0)).alias("expected_rows"),
+            )
+            .write.mode("overwrite")
+            .parquet(lineage_path),
+        )
+
+    with open(ckpt_path, "w") as f:
+        json.dump(params, f)
     artifacts = {
         "elements_path": el_path,
         "tiled_path": tiled_path,
+        "lineage_path": lineage_path if lineage else None,
         "counts": counts,
         "groups": groups,
         "n_elements": n_elements,
+        "resumed_phases": resumed,
     }
     return stages, artifacts
 
@@ -135,6 +217,15 @@ def main() -> None:
     ap.add_argument("--target", type=int, default=8000)
     ap.add_argument("--minimum", type=int, default=4000)
     ap.add_argument("--gen-docs", type=int, default=0)
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="skip phases whose committed output already exists under "
+        "--output (parse_qt / assign_write_tiled _SUCCESS checkpoints)",
+    )
+    ap.add_argument(
+        "--no-lineage", action="store_true",
+        help="skip the per-tile lineage audit table",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -155,9 +246,11 @@ def main() -> None:
         docs = spark.read.parquet(args.input)
 
     stages, arts = prepare_pipeline(
-        spark, docs, args.output, args.target, args.minimum
+        spark, docs, args.output, args.target, args.minimum,
+        resume=args.resume, lineage=not args.no_lineage,
     )
     metrics.update(stages)
+    metrics["resumed_phases"] = arts["resumed_phases"]
     counts, groups, n_elements = arts["counts"], arts["groups"], arts["n_elements"]
 
     # golden S9 assignments table (id → qt → tile), id-sorted (O2)

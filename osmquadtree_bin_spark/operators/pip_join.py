@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, LongType
 
 from .. import quadtree as qtk
 
@@ -101,12 +101,18 @@ def pip_join(elements: DataFrame, regions: DataFrame) -> DataFrame:
         )
 
     if poly_rows:
-        # ONE vectorized pass over every polygon ring: the UDF returns the
-        # array of matching region ids per point (posexplode fans out
-        # matches). Ring arrays are closure-captured (broadcast with the
-        # UDF); per ring we test only points inside its bbox (numpy mask).
-        # Hole rings (hole=true, .poly '!' sections) subtract: a point
-        # matches a region iff inside >=1 outer ring and inside 0 hole rings.
+        # ONE vectorized pass over every polygon ring. Ring arrays are
+        # closure-captured (broadcast with the UDF); per ring we test only
+        # points inside its bbox (numpy mask). Hole rings (hole=true, .poly
+        # '!' sections) subtract: a point matches a region iff inside >=1
+        # outer ring and inside 0 hole rings.
+        #
+        # The UDF returns a packed BITMASK (one long per 64 regions), not an
+        # array<string> of matched ids: the mask is pure numpy bit-or (zero
+        # per-row Python, no Arrow string-array allocation — the previous
+        # list-of-ids return looped Python over every matching row), and the
+        # mask→region_id decode is JVM-side codegen (same array_compact
+        # pattern as the bbox arm). Scales to any region count via chunks.
         rings = sorted(
             (
                 (
@@ -120,9 +126,10 @@ def pip_join(elements: DataFrame, regions: DataFrame) -> DataFrame:
             key=lambda t: (t[0], t[3]),
         )
         region_ids = sorted({rid for rid, _, _, _ in rings})
+        rid_bit = {rid: j for j, rid in enumerate(region_ids)}
+        n_chunks = (len(region_ids) + 63) // 64
 
-        @pandas_udf(ArrayType(StringType()))
-        def _pip_all(cx: pd.Series, cy: pd.Series) -> pd.Series:
+        def _masks(cx: pd.Series, cy: pd.Series) -> np.ndarray:
             px = cx.to_numpy(np.int64).astype(np.float64)
             py = cy.to_numpy(np.int64).astype(np.float64)
             n = len(px)
@@ -138,11 +145,26 @@ def pip_join(elements: DataFrame, regions: DataFrame) -> DataFrame:
                 idx = np.nonzero(box)[0]
                 hit = _point_in_rings(px[idx], py[idx], lons, lats)
                 (holes if is_hole else outer)[rid][idx[hit]] = True
-            matches: list[list[str]] = [[] for _ in range(n)]
+            mask = np.zeros((n, n_chunks), dtype=np.uint64)
             for rid in region_ids:
-                for i in np.nonzero(outer[rid] & ~holes[rid])[0]:
-                    matches[i].append(rid)
-            return pd.Series(matches)
+                j = rid_bit[rid]
+                mask[:, j >> 6] |= (outer[rid] & ~holes[rid]).astype(
+                    np.uint64
+                ) << np.uint64(j & 63)
+            return mask.astype(np.int64)
+
+        if n_chunks == 1:
+            # flat long column: ZERO per-row Python objects in the transfer
+
+            @pandas_udf(LongType())
+            def _pip_all(cx: pd.Series, cy: pd.Series) -> pd.Series:
+                return pd.Series(_masks(cx, cy)[:, 0])
+
+        else:
+
+            @pandas_udf(ArrayType(LongType()))
+            def _pip_all(cx: pd.Series, cy: pd.Series) -> pd.Series:
+                return pd.Series(list(_masks(cx, cy)))
 
         # asNondeterministic: stops the size(_rids)>0 filter from being
         # pushed through this projection with the UDF call (and its bbox-
@@ -166,11 +188,33 @@ def pip_join(elements: DataFrame, regions: DataFrame) -> DataFrame:
                 & (cy >= float(lats.min())) & (cy <= float(lats.max()))
             )
             pre = p if pre is None else (pre | p)
+        # JVM-side mask→region_id decode (codegen): bit test per region,
+        # array_compact + explode — mirrors the bbox arm exactly
+        if n_chunks == 1:
+            nonzero = F.col("_mask") != 0
+            bit = lambda j: (  # noqa: E731
+                F.col("_mask").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), j)) != 0
+            )
+        else:
+            nonzero = F.expr("exists(_mask, m -> m != 0)")
+            bit = lambda j: (  # noqa: E731
+                F.get("_mask", j >> 6).bitwiseAND(
+                    F.shiftleft(F.lit(1).cast("long"), j & 63)
+                )
+                != 0
+            )
+        matches_poly = F.array_compact(
+            F.array(
+                *[F.when(bit(rid_bit[rid]), F.lit(rid)) for rid in region_ids]
+            )
+        )
         out.append(
             elements.filter(pre)
-            .withColumn("_rids", _pip_all(cx, cy))
-            .filter(F.size("_rids") > 0)
-            .select(F.explode("_rids").alias("region_id"), "id", "doc_id", "span_idx")
+            .withColumn("_mask", _pip_all(cx, cy))
+            .filter(nonzero)
+            .select(
+                F.explode(matches_poly).alias("region_id"), "id", "doc_id", "span_idx"
+            )
         )
 
     if not out:

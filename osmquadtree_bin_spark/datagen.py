@@ -21,6 +21,11 @@ import pandas as pd
 
 from .quadtree import COORD_SCALE
 
+# Bump on ANY change to doc content or schema: bench.py keys its staged-input
+# cache on this, so a generator change invalidates stale tmpfs copies instead
+# of silently reusing them across bench runs.
+DATAGEN_VERSION = 1
+
 SPAN_SCHEMA = (
     "doc_id string, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"

@@ -406,7 +406,12 @@ def relation_qts(
     ).select("id", "qt")
     base = node_side.unionByName(way_side)
 
-    rel_members = members.filter(F.col("mtype") == 2).cache()
+    # NOT .cache(): a session-lifetime cache here leaks executor storage on
+    # every call (round-4 verdict #2). The subtree is identical across the 5
+    # iterations, so Spark's ReusedExchange dedupes its shuffle/broadcast
+    # within the single action that evaluates the returned plan — the reuse
+    # we want, with zero session state.
+    rel_members = members.filter(F.col("mtype") == 2)
     # iteration 0: relations with only node/way members resolve immediately
     resolved = base.groupBy("id").agg(qt_lca_agg(F.col("qt")).alias("qt"))
     for _ in range(iterations):

@@ -149,19 +149,25 @@ class TiledStore:
         # materialize BEFORE the overwrite: newest reads the very partitions
         # the write below replaces, so a lazy re-evaluation would see them
         newest = newest.persist()
-        out_tiles = {
-            r["tile_idx"] for r in newest.select("tile_idx").distinct().collect()
-        }
-        # dynamic partition overwrite: only the touched tiles are rewritten
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            newest.repartition(F.col("tile_idx"))
-            .sortWithinPartitions("tile_idx", "id")
-            .write.mode("overwrite")
-            .partitionBy("tile_idx")
-            .parquet(self.data_path)
-        )
-        newest.unpersist()
+        try:
+            out_tiles = {
+                r["tile_idx"] for r in newest.select("tile_idx").distinct().collect()
+            }
+            # dynamic partition overwrite: only the touched tiles are
+            # rewritten. Scoped to THIS write via the DataFrameWriter option —
+            # a session-level conf.set here would leak "dynamic" into every
+            # later partitioned overwrite (no top-level _SUCCESS, stale
+            # partitions surviving a same-session re-tile).
+            (
+                newest.repartition(F.col("tile_idx"))
+                .sortWithinPartitions("tile_idx", "id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("tile_idx")
+                .parquet(self.data_path)
+            )
+        finally:
+            newest.unpersist()
         # Dynamic overwrite only replaces partitions PRESENT in the output: a
         # touched tile whose rows were all deleted emits nothing and its stale
         # partition would survive. Clear those explicitly. (On Iceberg this is
@@ -196,6 +202,47 @@ class TiledStore:
         self.spark.createDataFrame(rows, LEDGER_SCHEMA).write.mode("append").parquet(
             self.ledger_path
         )
+
+    # -------------------------------------------------- overflow monitoring
+    def overflow_pressure(self, overflow_idx: int) -> dict:
+        """Incremental-contract escape hatch, promoted to a monitored metric:
+        elements arriving via ``apply_diff`` whose qt has no ancestor group
+        land in the overflow tile (``make_tile_assigner.overflow_idx`` —
+        tiling.py). Its growth is the signal that the fixed grouping has
+        drifted from the data and a rebase is due. One zero-column scan
+        (tile_idx is the partition column)."""
+        rows = {
+            r["tile_idx"]: r["n"]
+            for r in self.read()
+            .groupBy("tile_idx")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(rows.values())
+        ov = rows.get(overflow_idx, 0)
+        return {
+            "overflow_rows": int(ov),
+            "total_rows": int(total),
+            "fraction": (ov / total) if total else 0.0,
+        }
+
+    def needs_rebase(
+        self,
+        overflow_idx: int,
+        max_fraction: float = 0.02,
+        max_rows: int | None = None,
+    ) -> bool:
+        """True when the overflow tile holds more than ``max_fraction`` of
+        the store (or ``max_rows`` absolute). The operational contract:
+        ``apply_diff`` keeps landing unmatched elements in the overflow tile
+        (every one ledgered like any touched tile); when this trips, run
+        ``jobs/rebase_job.py`` — the fresh count tree covers the overflow
+        cells, so the re-grouping absorbs the tile (pinned by
+        test_overflow_tile_monitored_and_rebase_absorbs)."""
+        p = self.overflow_pressure(overflow_idx)
+        if max_rows is not None and p["overflow_rows"] > max_rows:
+            return True
+        return p["fraction"] > max_fraction
 
     # ------------------------------------------------------------- rebase
     def rebase(

@@ -55,9 +55,15 @@ def test_entry_smoke(spark):
 def test_all_queries_run(spark):
     qs = entrymod.queries()
     assert len(qs) >= 25
+    before = {k for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
     for name, fn in sorted(qs.items()):
         df = fn(spark, SF_DIR)
         assert df.count() >= 0, name
+    # round-4 verdict #5: no operator may leak a session-lifetime cache —
+    # every .persist()/.cache() inside queries() must be released (or never
+    # registered) by the time the query's action completes
+    after = {k for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+    assert after <= before, f"queries() leaked persistent RDDs: {sorted(after - before)}"
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))

@@ -154,6 +154,58 @@ def test_emptied_tile_partition_is_cleared(spark, store):
     assert not os.path.isdir(os.path.join(st.data_path, f"tile_idx={victim}"))
 
 
+def test_overflow_tile_monitored_and_rebase_absorbs(spark, tmp_path):
+    """The incremental contract's escape hatch, end to end: new elements
+    whose qt has no ancestor group land in the overflow tile; the ledger
+    carries its counts like any touched tile; overflow_pressure/needs_rebase
+    monitor its growth; and a rebase (fresh count tree covers the overflow
+    cells) re-absorbs it — the new grouping leaves the overflow tile empty."""
+    import pandas as pd
+
+    from osmquadtree_bin_spark.tiling import assign_tiles, make_tile_assigner
+
+    k = lambda c: (c << 61) | 1  # depth-1 quadrant key (path<<61 | depth)
+    # groups cover quadrants A and B only — NO root group, so quadrant C
+    # has no ancestor group (the shape left behind after heavy churn)
+    groups = pd.DataFrame(
+        {"tile_idx": [0, 1], "tile_qt": [k(0), k(1)], "cnt": [40, 40]}
+    )
+    base = spark.createDataFrame(
+        [(i, k(i % 2)) for i in range(80)], "id long, qt long"
+    )
+    st = TiledStore(spark, str(tmp_path / "ovf"))
+    st.write_initial(assign_tiles(base, groups))
+
+    asg = make_tile_assigner(groups)
+    ovf = asg.overflow_idx
+    assert ovf == 2
+    c_tile = int(asg(np.array([k(2)]))[0])
+    assert c_tile == ovf  # quadrant C resolves to the overflow tile
+    diff = spark.createDataFrame(
+        [(1000 + i, k(2), "create", 1, ovf) for i in range(3)],
+        "id long, qt long, changetype string, version long, tile_idx long",
+    )
+    touched = st.apply_diff(diff, state=1)
+    assert ovf in touched
+    led = {r["tile_idx"]: r for r in st.ledger().filter(F.col("state") == 1).collect()}
+    assert led[ovf]["rows_out"] == 3  # overflow tile ledgered like any tile
+
+    p = st.overflow_pressure(ovf)
+    assert p["overflow_rows"] == 3 and p["total_rows"] == 83
+    assert not st.needs_rebase(ovf, max_fraction=0.5)
+    assert st.needs_rebase(ovf, max_fraction=0.01)  # 3/83 > 1%
+    assert st.needs_rebase(ovf, max_fraction=0.5, max_rows=2)
+
+    # rebase re-absorbs: the fresh count tree sees quadrant C, the group
+    # walk emits a root remainder group, and nothing overflows anymore
+    empty = spark.createDataFrame([], "id long, qt long, changetype string, version long")
+    out, _counts2, groups2 = st.rebase(empty, str(tmp_path / "ovf_rebased"), 40, 20)
+    asg2 = make_tile_assigner(groups2)
+    new_tiles = {r["tile_idx"] for r in out.read().select("tile_idx").distinct().collect()}
+    assert asg2.overflow_idx not in new_tiles
+    assert out.read().count() == 83
+
+
 def test_replication_url_and_state_parse():
     """S6 offline half: URL sharding + state.txt parse (no network needed)."""
     from osmquadtree_bin_spark.streaming.replication import (

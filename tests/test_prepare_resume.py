@@ -71,6 +71,83 @@ def test_resume_rejects_changed_parameters(spark, prep):
         )
 
 
+def test_apply_diff_then_resume_and_overwrite_semantics(spark, tmp_path):
+    """Regression (round-4 verdict #1): apply_diff's dynamic partition
+    overwrite must be scoped to its own DataFrameWriter, not the session.
+    After it runs in this session: (a) the session conf is still static,
+    (b) a resumable prepare still sees its _SUCCESS checkpoints, and (c) a
+    partitioned full overwrite truly truncates stale partitions."""
+    from pyspark.sql import functions as F
+
+    from osmquadtree_bin_spark.datagen import gen_docs_dist
+    from osmquadtree_bin_spark.streaming.update import TiledStore
+
+    out = str(tmp_path / "prep")
+    docs = gen_docs_dist(spark, n_docs=400, seed=13, partitions=2)
+    _s1, arts1 = _run(spark, docs, out)
+
+    st = TiledStore(spark, str(tmp_path / "store"))
+    st.write_initial(spark.read.parquet(arts1["tiled_path"]))
+    diff = (
+        st.read().limit(3)
+        .withColumn("changetype", F.lit("modify"))
+        .withColumn("version", F.lit(1))
+    )
+    assert st.apply_diff(diff, state=1)
+
+    # (a) no session-wide leak
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    ).upper() == "STATIC"
+
+    # (b) resume in the SAME session still skips committed phases
+    stages2, arts2 = _run(spark, docs, out, resume=True)
+    assert arts2["resumed_phases"] == ["parse_qt", "assign_write_tiled"]
+    assert stages2["assign_write_tiled"] == 0.0
+
+    # (c) static overwrite truncates: the k=1 partition must not survive
+    p = str(tmp_path / "plain")
+    spark.range(10).withColumn("k", (F.col("id") % 2).cast("int")).write.mode(
+        "overwrite"
+    ).partitionBy("k").parquet(p)
+    spark.range(4).withColumn("k", F.lit(0)).write.mode("overwrite").partitionBy(
+        "k"
+    ).parquet(p)
+    assert os.path.exists(os.path.join(p, "_SUCCESS"))
+    ks = sorted(r["k"] for r in spark.read.parquet(p).select("k").distinct().collect())
+    assert ks == [0]
+
+
+def test_killed_run_pins_checkpoint_before_first_phase(spark, tmp_path, monkeypatch):
+    """A run killed mid-pipeline leaves committed phase outputs behind;
+    checkpoint.json must already exist so a later --resume with different
+    parameters is rejected instead of silently mixing layouts."""
+    from jobs.prepare_job import prepare_pipeline
+    from osmquadtree_bin_spark import tiling
+    from osmquadtree_bin_spark.datagen import gen_docs_dist
+
+    out = str(tmp_path / "killed")
+    docs = gen_docs_dist(spark, n_docs=300, seed=11, partitions=2)
+
+    def boom(*_a, **_k):
+        raise RuntimeError("simulated kill")
+
+    monkeypatch.setattr(tiling, "find_groups", boom)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        prepare_pipeline(spark, docs, out, target=500, minimum=250)
+    assert os.path.exists(os.path.join(out, "checkpoint.json"))
+    assert os.path.exists(os.path.join(out, "elements", "_SUCCESS"))
+
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="different parameters"):
+        prepare_pipeline(spark, docs, out, target=400, minimum=200, resume=True)
+    stages, arts = prepare_pipeline(
+        spark, docs, out, target=500, minimum=250, resume=True
+    )
+    assert arts["resumed_phases"] == ["parse_qt"]
+    assert stages["assign_write_tiled"] > 0
+
+
 def test_uncommitted_output_is_not_a_checkpoint(spark, tmp_path):
     """A phase dir WITHOUT _SUCCESS (killed mid-write) must re-run."""
     from osmquadtree_bin_spark.datagen import gen_docs_dist

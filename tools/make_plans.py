@@ -147,6 +147,37 @@ def main() -> None:
             "LessThanOrEqual(minx" in p,
         )
 
+    # --- resume safety: apply_diff must not flip session overwrite semantics
+    # (round-4 verdict bug: a session-wide partitionOverwriteMode=dynamic
+    # leak made later partitioned overwrites skip _SUCCESS and keep stale
+    # partitions — this check fails on that regression)
+    from osmquadtree_bin_spark.streaming.update import TiledStore
+
+    with tempfile.TemporaryDirectory() as td:
+        st = TiledStore(spark, os.path.join(td, "store"))
+        st.write_initial(assigned.select("id", "qt", "tile_idx"))
+        diff = (
+            st.read().limit(2)
+            .withColumn("changetype", F.lit("modify"))
+            .withColumn("version", F.lit(1))
+        )
+        st.apply_diff(diff, state=1)
+        mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        probe = os.path.join(td, "probe")
+        spark.range(6).withColumn("k", (F.col("id") % 2).cast("int")).write.mode(
+            "overwrite"
+        ).partitionBy("k").parquet(probe)
+        spark.range(3).withColumn("k", F.lit(0)).write.mode("overwrite").partitionBy(
+            "k"
+        ).parquet(probe)
+        truncated = not os.path.isdir(os.path.join(probe, "k=1"))
+        committed = os.path.exists(os.path.join(probe, "_SUCCESS"))
+        check(
+            "post-apply_diff partitioned overwrite stays STATIC (resume-safe)",
+            f"session mode={mode}; _SUCCESS={committed}; stale partition removed={truncated}",
+            mode.upper() == "STATIC" and committed and truncated,
+        )
+
     # --- q14 morton: JVM only ---------------------------------------------
     import importlib.util
 

@@ -291,7 +291,10 @@ def _scaling_body(
         ).withColumn("span_idx", (seq % 64).cast("int"))
         pip = pip_join(elements, regions)
         t0 = time.perf_counter()
-        n_pip = pip.count()
+        from osmquadtree_bin_spark.tuning import scan_splits_for
+
+        with scan_splits_for(slim):  # core-wave split sizing (tuning.py)
+            n_pip = pip.count()
         stages["pip"] = round(time.perf_counter() - t0, 3)
         return stages, n_elements + n_pip, n_elements
 

@@ -38,6 +38,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _parquet_rows(path: str) -> int | None:
+    """Exact row count from parquet footers — a driver-side metadata read
+    replacing a full-scan count() job (the scan was a hidden, untimed wall
+    between parse_qt and count_tree). Local-fs implementation; on HDFS/S3
+    the same footers are read through the FS API (on Iceberg it's a single
+    manifest-summary lookup). None → caller falls back to a Spark count."""
+    try:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = glob.glob(os.path.join(path, "*.parquet"))
+        if not files:
+            return None
+        return sum(pq.read_metadata(f).num_rows for f in files)
+    except Exception:  # noqa: BLE001 — any surprise → honest fallback
+        return None
+
+
 def _phase_complete(path: str) -> bool:
     """A parquet phase output is a checkpoint iff Spark committed it
     (_SUCCESS marker — partial output from a killed run has none). Local-fs
@@ -90,6 +109,7 @@ def prepare_pipeline(
 
     from osmquadtree_bin_spark.spans import explode_geoms
     from osmquadtree_bin_spark.tiling import assign_tiles, count_tree, find_groups
+    from osmquadtree_bin_spark.tuning import scan_splits_for, shuffle_partitions_for
 
     stages: dict[str, float] = {}
     resumed: list[str] = []
@@ -127,23 +147,27 @@ def prepare_pipeline(
         stages["parse_qt"] = 0.0
         resumed.append("parse_qt")
     else:
-        timed(
-            "parse_qt",
-            lambda: explode_geoms(docs)
-            .select(
-                "id",
-                "qt",
-                F.col("minx").cast("int").alias("minx"),
-                F.col("miny").cast("int").alias("miny"),
-                F.col("maxx").cast("int").alias("maxx"),
-                F.col("maxy").cast("int").alias("maxy"),
-                F.col("geom_type").cast("tinyint").alias("geom_type"),
-            )
-            .write.mode("overwrite")
-            .parquet(el_path),
-        )
+
+        def parse():
+            # scan-split the docs input for this session's cores (a GB-scale
+            # input at default 128 MB splits runs the parse as a ragged
+            # 1.4-wave stage on 8 cores — tuning.py)
+            with scan_splits_for(docs):
+                explode_geoms(docs).select(
+                    "id",
+                    "qt",
+                    F.col("minx").cast("int").alias("minx"),
+                    F.col("miny").cast("int").alias("miny"),
+                    F.col("maxx").cast("int").alias("maxx"),
+                    F.col("maxy").cast("int").alias("maxy"),
+                    F.col("geom_type").cast("tinyint").alias("geom_type"),
+                ).write.mode("overwrite").parquet(el_path)
+
+        timed("parse_qt", parse)
     slim = spark.read.parquet(el_path)
-    n_elements = slim.count()
+    n_elements = _parquet_rows(el_path)
+    if n_elements is None:  # non-local fs fallback: one Spark count job
+        n_elements = slim.count()
     counts = timed("count_tree", lambda: count_tree(slim, n_rows_hint=n_elements))
     groups = timed(
         "find_groups",
@@ -169,14 +193,17 @@ def prepare_pipeline(
         )
 
         def write():
+            # explicit partition count: wave-aligned for this session, byte-
+            # bounded at scale; blocks AQE's sub-wave coalescing (tuning.py)
             w = (
-                assigned.repartition(F.col("tile_idx"))
+                assigned.repartition(shuffle_partitions_for(slim), F.col("tile_idx"))
                 .sortWithinPartitions("tile_idx", "id")
                 .write.mode("overwrite")
             )
             if partition_by_tile:
                 w = w.partitionBy("tile_idx")
-            w.parquet(tiled_path)
+            with scan_splits_for(slim):  # map side reads the slim table
+                w.parquet(tiled_path)
 
         timed("assign_write_tiled", write)
 
@@ -187,21 +214,25 @@ def prepare_pipeline(
                 ["tile_idx", "tile_qt", "expected_rows"]
             ]
         )
-        timed(
-            "lineage",
-            lambda: spark.read.parquet(tiled_path)
-            .groupBy(F.col("tile_idx").cast("long").alias("tile_idx"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .join(F.broadcast(gdf), "tile_idx", "full")
-            .select(
-                "tile_idx",
-                "tile_qt",
-                F.coalesce("rows", F.lit(0)).alias("rows"),
-                F.coalesce("expected_rows", F.lit(0)).alias("expected_rows"),
-            )
-            .write.mode("overwrite")
-            .parquet(lineage_path),
-        )
+        tiled = spark.read.parquet(tiled_path)
+
+        def lineage_write():
+            with scan_splits_for(tiled):
+                (
+                    tiled.groupBy(F.col("tile_idx").cast("long").alias("tile_idx"))
+                    .agg(F.count(F.lit(1)).alias("rows"))
+                    .join(F.broadcast(gdf), "tile_idx", "full")
+                    .select(
+                        "tile_idx",
+                        "tile_qt",
+                        F.coalesce("rows", F.lit(0)).alias("rows"),
+                        F.coalesce("expected_rows", F.lit(0)).alias("expected_rows"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(lineage_path)
+                )
+
+        timed("lineage", lineage_write)
 
     artifacts = {
         "elements_path": el_path,

@@ -84,8 +84,12 @@ class TiledStore:
 
     # ------------------------------------------------------------- bootstrap
     def write_initial(self, assigned: DataFrame) -> None:
+        from ..tuning import shuffle_partitions_for
+
+        # explicit partition count: wave-aligned, byte-bounded at scale;
+        # blocks AQE's sub-wave coalescing of repartition(col) (tuning.py)
         (
-            assigned.repartition(F.col("tile_idx"))
+            assigned.repartition(shuffle_partitions_for(assigned), F.col("tile_idx"))
             .sortWithinPartitions("tile_idx", "id")
             .write.mode("overwrite")
             .partitionBy("tile_idx")
@@ -158,8 +162,10 @@ class TiledStore:
             # a session-level conf.set here would leak "dynamic" into every
             # later partitioned overwrite (no top-level _SUCCESS, stale
             # partitions surviving a same-session re-tile).
+            from ..tuning import shuffle_partitions_for
+
             (
-                newest.repartition(F.col("tile_idx"))
+                newest.repartition(shuffle_partitions_for(newest), F.col("tile_idx"))
                 .sortWithinPartitions("tile_idx", "id")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

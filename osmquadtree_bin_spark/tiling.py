@@ -86,7 +86,14 @@ def count_tree(
     agg = elements.groupBy(qt_round_expr("qt", level).alias("cell")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    pdf = agg.toPandas()
+    # split-size the scan for this session's cores: the slim elements table
+    # is small enough that Spark's default 128 MB splits would give the map
+    # side fewer tasks than cores (measured 0.44 scaling 2→8 cores on this
+    # stage — 2-3 map tasks on 8 cores); see tuning.py
+    from .tuning import scan_splits_for
+
+    with scan_splits_for(elements):
+        pdf = agg.toPandas()
     cells = pdf["cell"].to_numpy(np.int64)
     cnts = pdf["cnt"].to_numpy(np.int64)
     # clustering can beat the 4×/level shrink estimate — finish driver-side
@@ -458,9 +465,16 @@ def write_tiled(elements_with_tiles: DataFrame, path: str, n_buckets: int | None
     ``repartition(tile_idx)`` + ``sortWithinPartitions(tile_idx, id)`` gives the
     reference's tiled, id-sorted layout; hive partitioning by tile_idx gives
     partition pruning on read (Iceberg partition transform in production).
+    The partition count is explicit — wave-aligned for this session, byte-
+    bounded at scale — so AQE cannot coalesce the sort+write into a sub-wave
+    stage (tuning.py).
     """
+    from .tuning import shuffle_partitions_for
+
     (
-        elements_with_tiles.repartition(F.col("tile_idx"))
+        elements_with_tiles.repartition(
+            shuffle_partitions_for(elements_with_tiles), F.col("tile_idx")
+        )
         .sortWithinPartitions("tile_idx", "id")
         .write.mode("overwrite")
         .partitionBy("tile_idx")

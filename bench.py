@@ -161,6 +161,70 @@ def _cpu_probe() -> float:
     return time.perf_counter() - t0
 
 
+def _proc_stat() -> tuple[int, int, int] | None:
+    """(busy, steal, total) jiffies from the aggregate /proc/stat cpu line.
+
+    ``steal`` (field 8) is the hypervisor's own counter of time a runnable
+    vCPU waited for a physical core taken by ANOTHER TENANT — on this
+    Firecracker box it is the direct, per-jiffy measurement of the neighbor
+    contention that the single-thread probe could only hint at (multi-core
+    steal is invisible to a one-thread probe on a 32-vCPU VM). ``busy`` is
+    in-VM user+nice+system+irq+softirq — this VM runs nothing but the bench,
+    so busy ≈ the engine's own CPU."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        v = [int(x) for x in parts[1:11]]
+        busy = v[0] + v[1] + v[2] + v[5] + v[6]
+        steal = v[7]
+        return busy, steal, sum(v[:8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _steal_cores(before, after) -> dict:
+    """Average stolen / busy core counts over a sampled window."""
+    if not before or not after:
+        return {}
+    db, ds, dt = (after[i] - before[i] for i in range(3))
+    if dt <= 0:
+        return {}
+    ncpu = os.cpu_count() or 32
+    return {
+        "steal_cores": round(ds / dt * ncpu, 3),
+        "busy_cores": round(db / dt * ncpu, 3),
+    }
+
+
+# A level (and the pair containing it) counts as uncontaminated only when the
+# hypervisor stole less than this many cores on average during the measured
+# window. 0.35 distorts a 2-core level by at most ~±17% and an 8-core level
+# by ~±4% — below this box's same-code run-to-run jitter.
+STEAL_CLEAN_CORES = float(os.environ.get("BENCH_STEAL_CLEAN_CORES", "0.35"))
+
+
+def _wait_for_quiet(
+    max_wait_sec: float, window_sec: float = 5.0, threshold: float = STEAL_CLEAN_CORES
+) -> dict:
+    """Poll steal in short windows until the box is quiet (or give up).
+    Launching a 15-minute pair into a loud window wastes the whole pair;
+    a 5-second pre-check is ~200× cheaper. Steal can still arrive mid-run —
+    the per-level counters recorded by scaling_job remain the ground truth."""
+    t0 = time.perf_counter()
+    waited = 0
+    last = None
+    while True:
+        b = _proc_stat()
+        time.sleep(window_sec)
+        last = _steal_cores(b, _proc_stat())
+        if not last or last.get("steal_cores", 0.0) < threshold:
+            return {"waited_sec": round(time.perf_counter() - t0, 1), **(last or {})}
+        waited = time.perf_counter() - t0
+        if waited >= max_wait_sec:
+            return {"waited_sec": round(waited, 1), "gave_up": True, **last}
+        time.sleep(min(20.0, max_wait_sec - waited))
+
+
 def scaling_job(
     cpus: int,
     mode: str = "local",
@@ -246,13 +310,8 @@ def _scaling_body(
     # the writing level's cores, so levels re-reading one copy is
     # measurement-identical to each staging its own — minus ~25 min of
     # Python-generator wall per low-core level.
-    from osmquadtree_bin_spark.datagen import DATAGEN_VERSION
-
     parts = input_parts or max(SCALING_LEVELS) * 4
-    shm_base = "/dev/shm" if os.path.isdir("/dev/shm") else os.path.dirname(tmp)
-    # dir name carries the datagen version: a generator change invalidates
-    # the cache instead of silently reusing stale input across bench runs
-    docs_path = os.path.join(shm_base, f"oqt_docs_v{DATAGEN_VERSION}_{n_docs}_{parts}")
+    docs_path = _staged_docs_path(n_docs, parts, os.path.dirname(tmp))
     if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
         import shutil
 
@@ -290,18 +349,22 @@ def _scaling_body(
             "doc_id", F.format_string("doc_%08d", (seq / 64).cast("long"))
         ).withColumn("span_idx", (seq % 64).cast("int"))
         pip = pip_join(elements, regions)
+        stat0 = _proc_stat()
         t0 = time.perf_counter()
         from osmquadtree_bin_spark.tuning import scan_splits_for
 
         with scan_splits_for(slim):  # core-wave split sizing (tuning.py)
             n_pip = pip.count()
         stages["pip"] = round(time.perf_counter() - t0, 3)
+        for kk, vv in _steal_cores(stat0, _proc_stat()).items():
+            stages[f"pip_{kk}"] = vv
         return stages, n_elements + n_pip, n_elements
 
     # warm-up pass: python worker spawn, codegen JIT, shuffle file creation —
     # identical one-time costs at both levels that would otherwise mask
     # steady-state throughput (what a long-running cluster job actually sees)
     run_pipeline(0)
+    stat0 = _proc_stat()
     t0 = time.perf_counter()
     stages, rows, n_elements = run_pipeline(1)
     wall = time.perf_counter() - t0
@@ -312,7 +375,48 @@ def _scaling_body(
         "wall_sec": round(wall, 4),
         "rows_per_sec": round(rows / wall, 2),
         "stages": stages,
+        # hypervisor steal + own busy cores averaged over the measured pass:
+        # the direct contamination record for this level (see _proc_stat)
+        **_steal_cores(stat0, _proc_stat()),
     }
+
+
+def _staged_docs_path(n_docs: int, parts: int, fallback_base: str = "/tmp") -> str:
+    """Shared staged-input dir: keyed on datagen version (a generator change
+    invalidates the cache instead of silently reusing stale input), doc
+    count and file count — the SAME table layout regardless of which
+    parallelism level stages or reads it."""
+    from osmquadtree_bin_spark.datagen import DATAGEN_VERSION
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else fallback_base
+    return os.path.join(base, f"oqt_docs_v{DATAGEN_VERSION}_{n_docs}_{parts}")
+
+
+def stage_docs(n_docs: int, parts: int, cpus: int | None = None) -> dict:
+    """Stage the scaling input ONCE at full parallelism (content is per-doc
+    seeded, so writer parallelism cannot change it — but a 2-core level
+    paying ~25 min of datagen wall before its measurement starts is pure
+    waste on a box where quiet windows are scarce)."""
+    from osmquadtree_bin_spark.datagen import gen_docs_dist
+    from osmquadtree_bin_spark.session import get_spark
+
+    path = _staged_docs_path(n_docs, parts)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return {"staged": path, "cached": True}
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    cpus = cpus or int(CPUS)
+    spark = get_spark(
+        app="oqt-stage-docs", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    try:
+        gen_docs_dist(spark, n_docs=n_docs, seed=42, partitions=parts).write.mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        spark.stop()
+    return {"staged": path, "cached": False}
 
 
 def _sub_json(args: list[str]) -> dict:
@@ -539,6 +643,12 @@ def _measure_pair(
 
     probes = [results[m][c].get("cpu_probe_sec") for m in modes for c in (n, n4)]
     probes = [p for p in probes if p]
+    steals = [
+        results[m][c].get("steal_cores")
+        for m in modes
+        for c in (n, n4)
+        if results[m][c].get("steal_cores") is not None
+    ]
     rec = {
         "n_docs": n_docs,
         "levels": [n, n4],
@@ -548,6 +658,10 @@ def _measure_pair(
         # was NOT equally idle across levels and the pair is suspect
         "cpu_probes": probes,
         "probe_spread": round(max(probes) / min(probes), 3) if probes else None,
+        # hypervisor steal, max over levels: the pair is defensible iff the
+        # neighbor stole < STEAL_CLEAN_CORES during BOTH measured windows
+        "max_steal_cores": round(max(steals), 3) if steals else None,
+        "steal_clean": (max(steals) < STEAL_CLEAN_CORES) if steals else None,
     }
     for mode in modes:
         rec[mode] = {str(c): results[mode][c] for c in (n, n4)}
@@ -574,31 +688,46 @@ def _record_run(record: dict) -> list[dict]:
     return history
 
 
-def knee_repeat(k: int) -> dict:
+def knee_repeat(k: int, quiet_wait_sec: float | None = None) -> dict:
     """Repeat the below-knee pair k times, appending each as a knee-only
-    history record (shared-host steal only ever SLOWS a level, so repeats
-    bound the noise floor honestly: every repeat ships with its own
-    no-engine calibration + per-level probe walls)."""
+    history record. Every repeat ships with its own no-engine calibration,
+    per-level probe walls, and per-level hypervisor-steal counters; before
+    each repeat the harness waits (up to ``quiet_wait_sec``, default
+    BENCH_QUIET_WAIT_SEC or 600) for a steal-quiet window — launching a
+    15-minute pair into a loud window wastes the pair. The headline value is
+    the best STEAL-CLEAN efficiency if any repeat is clean, else the best
+    overall (flagged)."""
     if k < 1:
         raise SystemExit("--knee-repeat needs k >= 1")
+    if quiet_wait_sec is None:
+        quiet_wait_sec = float(os.environ.get("BENCH_QUIET_WAIT_SEC", "600"))
     kn, kn4 = KNEE_LEVELS
-    out = []
+    out: list[tuple[float, bool]] = []
     try:
+        # stage the shared input at full cores in its own JVM first — not
+        # inside the first (low-core) level's measurement subprocess
+        _sub_json(["--stage-docs", str(N_DOCS_KNEE), str(kn4 * 4)])
         for _ in range(k):
+            gate = _wait_for_quiet(quiet_wait_sec)
             rec = {
                 "knee_only": True,
                 "date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+                "quiet_gate": gate,
                 "knee": _measure_pair(kn, kn4, kn, N_DOCS_KNEE, modes=("cluster",)),
             }
-            out.append(rec["knee"]["efficiency_cluster"])
+            out.append(
+                (rec["knee"]["efficiency_cluster"], bool(rec["knee"].get("steal_clean")))
+            )
             _record_run(rec)
     finally:
         _clean_staged_docs()  # multi-GB tmpfs input must not outlive the run
+    clean = [e for e, ok in out if ok and e <= 1.0]
     return {
-        "metric": f"below-knee {kn}->{kn4} efficiency, {k} repeats",
-        "value": max(out),
+        "metric": f"below-knee {kn}->{kn4} efficiency, {k} repeats"
+        + ("" if clean else " (NO steal-clean repeat)"),
+        "value": max(clean) if clean else max(e for e, _ in out),
         "unit": "efficiency",
-        "queries": {f"rep{i}": e for i, e in enumerate(out)},
+        "queries": {f"rep{i}": e for i, (e, _) in enumerate(out)},
         "sf": N_DOCS_KNEE,
     }
 
@@ -684,6 +813,9 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--stage-docs":
+        print(json.dumps(stage_docs(int(sys.argv[2]), int(sys.argv[3]))))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--knee-repeat":
         k = int(sys.argv[2]) if len(sys.argv) > 2 else 3

@@ -114,10 +114,30 @@ def prepare_pipeline(
     stages: dict[str, float] = {}
     resumed: list[str] = []
 
+    def _cpu_counters():
+        """(busy, steal, total) jiffies from /proc/stat — per-phase host
+        metrics alongside the walls (the north rule's per-phase metrics).
+        ``steal`` is the hypervisor's counter of runnable-but-preempted time:
+        on a shared host it tells apart "this phase is slow" from "this
+        phase was robbed", per phase. None off-Linux."""
+        try:
+            with open("/proc/stat") as f:
+                v = [int(x) for x in f.readline().split()[1:9]]
+            return v[0] + v[1] + v[2] + v[5] + v[6], v[7], sum(v)
+        except (OSError, IndexError, ValueError):
+            return None
+
     def timed(label, fn):
+        c0 = _cpu_counters()
         t0 = time.perf_counter()
         r = fn()
         stages[label] = round(time.perf_counter() - t0, 3)
+        c1 = _cpu_counters()
+        if c0 and c1 and c1[2] > c0[2]:
+            ncpu = os.cpu_count() or 1
+            dt = c1[2] - c0[2]
+            stages[f"{label}_steal_cores"] = round((c1[1] - c0[1]) / dt * ncpu, 3)
+            stages[f"{label}_busy_cores"] = round((c1[0] - c0[0]) / dt * ncpu, 3)
         return r
 
     params = {

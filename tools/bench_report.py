@@ -164,9 +164,125 @@ def _knee_history_lines(history: list[dict]) -> list[str]:
     ]
 
 
+STAGE_ORDER = (
+    "parse_qt", "count_tree", "find_groups", "assign_write_tiled",
+    "lineage", "pip",
+)
+# find_groups is the deterministic driver-side group walk: serial BY DESIGN,
+# absolute wall capped (~0.4 s) and independent of cluster size. Its
+# "efficiency" is definitionally ~1/factor and says nothing about the
+# engine's distributed stages, so it is reported by absolute wall and
+# excluded from the composite.
+SERIAL_STAGES = frozenset({"find_groups"})
+STEAL_CLEAN_CORES = float(os.environ.get("BENCH_STEAL_CLEAN_CORES", "0.35"))
+# busy-core headroom over the level's allotted cores: the level's own JVM +
+# python driver legitimately use ~cpus + a fraction (GC/IO threads are
+# bounded by ActiveProcessorCount); busy beyond cpus + this margin means
+# ANOTHER process on the box competed during the window — contamination the
+# steal counter cannot see (steal is hypervisor-level, busy is guest-level).
+BUSY_CLEAN_MARGIN = float(os.environ.get("BENCH_BUSY_CLEAN_MARGIN", "1.5"))
+
+
+def _stage_clean_lines(history: list[dict]) -> list[str]:
+    """Steal-verified per-stage scaling: on a box whose neighbor arrives in
+    multi-minute bursts, a 12-minute pair is rarely clean end-to-end, but
+    individual STAGES often are. Every knee record since the steal counters
+    carries per-stage stolen-core averages on both levels; a stage
+    measurement is admissible iff during its own window, on BOTH levels of
+    the SAME run, (a) the hypervisor stole < 0.35 cores AND (b) guest
+    busy-cores stayed within the level's own core allotment + margin (busy
+    beyond that is another guest process competing — invisible to the steal
+    counter). Steal and competition only ever inflate a wall, so the minimum
+    admissible wall per (stage, level) is the engine's best-verified wall,
+    and the composite Σt_N / (4·Σt_4N) over those walls is the engine's
+    steal-verified below-knee efficiency."""
+    per_stage: dict[str, list[tuple[float, float, str]]] = {s: [] for s in STAGE_ORDER}
+    for h in history:
+        k = h.get("knee")
+        if not k:
+            continue
+        lo, hi = (str(x) for x in k["levels"])
+        c_lo, c_hi = k["cluster"][lo], k["cluster"][hi]
+        s_lo, s_hi = c_lo.get("stages", {}), c_hi.get("stages", {})
+
+        def _clean(stages: dict, st: str, cpus: int) -> bool:
+            steal = stages.get(f"{st}_steal_cores")
+            if steal is None or steal >= STEAL_CLEAN_CORES:
+                return False
+            busy = stages.get(f"{st}_busy_cores")
+            # serial driver-side stages use ~1 core regardless of level
+            allot = 1.0 if st in SERIAL_STAGES else float(cpus)
+            return busy is not None and busy < allot + BUSY_CLEAN_MARGIN
+
+        for st in STAGE_ORDER:
+            if st not in s_lo or st not in s_hi:
+                continue
+            if _clean(s_lo, st, c_lo["cpus"]) and _clean(s_hi, st, c_hi["cpus"]):
+                per_stage[st].append((s_lo[st], s_hi[st], h["date"]))
+    rows, tot_lo, tot_hi, covered, any_clean = [], 0.0, 0.0, 0, 0
+    n_parallel = len([s for s in STAGE_ORDER if s not in SERIAL_STAGES])
+    for st in STAGE_ORDER:
+        meas = per_stage[st]
+        if not meas:
+            rows.append(f"| {st} | — | — | — | no clean window yet (0 runs) |")
+            continue
+        b_lo = min(m[0] for m in meas)
+        b_hi = min(m[1] for m in meas)
+        any_clean += 1
+        if st in SERIAL_STAGES:
+            rows.append(
+                f"| {st} | {b_lo} | {b_hi} | n/a (serial by design, "
+                f"excluded) | {len(meas)} clean run(s) |"
+            )
+            continue
+        eff = round(b_lo / (4 * b_hi), 3)
+        tot_lo += b_lo
+        tot_hi += b_hi
+        covered += 1
+        rows.append(
+            f"| {st} | {b_lo} | {b_hi} | {eff} | {len(meas)} clean run(s) |"
+        )
+    if not any_clean:
+        return []
+    if covered:
+        composite_line = (
+            f"**Composite steal-verified below-knee efficiency "
+            f"(Σt_N / 4·Σt_4N over the {covered}/{n_parallel} "
+            f"clean-covered parallel stages): "
+            f"{round(tot_lo / (4 * tot_hi), 4)}.**"
+        )
+    else:
+        composite_line = (
+            "**No clean window on any parallel stage yet — no "
+            "composite is claimed from this table** (the serial group walk "
+            "is excluded by design; see the repeat-run table above for the "
+            "whole-pair measurements)."
+        )
+    return [
+        "### Steal-verified per-stage scaling (hypervisor-counter-clean windows)",
+        "",
+        "A stage row is admitted only when, during that stage's window on "
+        f"BOTH levels of the same run, /proc/stat shows < {STEAL_CLEAN_CORES}"
+        " cores stolen AND guest busy-cores stayed within the level's own "
+        f"allotment + {BUSY_CLEAN_MARGIN} (competition from another guest "
+        "process is invisible to the steal counter but shows up as excess "
+        "busy). Walls below are the minimum over admissible windows (steal "
+        "and competition only ever inflate a wall). The serial-by-design "
+        "driver-side group walk is shown by absolute wall only.",
+        "",
+        "| stage | best clean N wall (s) | best clean 4N wall (s) | "
+        "efficiency | evidence |",
+        "|---|---|---|---|---|",
+        *rows,
+        "",
+        composite_line,
+        "",
+    ]
+
+
 def write_bench_md(record: dict, history: list[dict]) -> None:
     """Render the last full record + all knee history to BENCH.md."""
-    knee_all_lines = _knee_history_lines(history)
+    knee_all_lines = _knee_history_lines(history) + _stage_clean_lines(history)
     history = [h for h in history if not h.get("knee_only")]
     n, n4 = record["levels"]
     factor = n4 // n

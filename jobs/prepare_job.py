@@ -128,16 +128,35 @@ def prepare_pipeline(
             return None
 
     def timed(label, fn):
+        # per-phase host metrics (hostmetrics.py): whole-guest busy/steal
+        # separates "slow" from "robbed"; process-group CPU is the phase's
+        # own compute cost, immune to steal and to other guest processes
+        from osmquadtree_bin_spark.hostmetrics import (
+            pg_cpu_by_role, pg_cpu_jiffies, pg_cpu_seconds_delta,
+            role_delta_seconds,
+        )
+
+        roles = os.environ.get("BENCH_CPU_ROLES") == "1"
         c0 = _cpu_counters()
+        p0 = pg_cpu_jiffies()
+        r0 = pg_cpu_by_role() if roles else None
         t0 = time.perf_counter()
         r = fn()
         stages[label] = round(time.perf_counter() - t0, 3)
         c1 = _cpu_counters()
+        p1 = pg_cpu_jiffies()
+        if roles:
+            rd = role_delta_seconds(r0, pg_cpu_by_role())
+            if rd:
+                stages[f"{label}_cpu_roles"] = rd
         if c0 and c1 and c1[2] > c0[2]:
             ncpu = os.cpu_count() or 1
             dt = c1[2] - c0[2]
             stages[f"{label}_steal_cores"] = round((c1[1] - c0[1]) / dt * ncpu, 3)
             stages[f"{label}_busy_cores"] = round((c1[0] - c0[0]) / dt * ncpu, 3)
+        cpu_s = pg_cpu_seconds_delta(p0, p1)
+        if cpu_s is not None:
+            stages[f"{label}_pg_cpu_s"] = cpu_s
         return r
 
     params = {

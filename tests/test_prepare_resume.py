@@ -30,6 +30,9 @@ def prep(spark, tmp_path_factory):
 def test_lineage_rows_match_group_expectations(spark, prep):
     _docs, _out, stages, arts = prep
     assert stages["lineage"] > 0
+    # per-phase host metrics (north rule): every timed phase carries its
+    # own process-group CPU cost (steal- and neighbor-immune, hostmetrics)
+    assert stages.get("parse_qt_pg_cpu_s", 0) > 0
     lin = spark.read.parquet(arts["lineage_path"]).toPandas()
     # every tile accounted for, actual == expected, totals == n_elements
     assert len(lin) == len(arts["groups"])

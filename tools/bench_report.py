@@ -19,7 +19,10 @@ def _stage_rows(rn: dict, r4: dict, factor: int) -> list[str]:
     """Per-stage wall table rows (shared by the knee and main sections)."""
     out = []
     for key in rn.get("stages", {}):
-        if key.endswith(("_mb", "_mb_per_s", "_steal_cores", "_busy_cores")):
+        if key.endswith(
+            ("_mb", "_mb_per_s", "_steal_cores", "_busy_cores", "_pg_cpu_s",
+             "_cpu_roles")
+        ):
             continue
         a, b = rn["stages"][key], r4["stages"].get(key, float("nan"))
         eff = round(a / b / factor, 2) if b else float("nan")
@@ -280,9 +283,99 @@ def _stage_clean_lines(history: list[dict]) -> list[str]:
     ]
 
 
+def _cpu_work_lines(history: list[dict]) -> list[str]:
+    """Steal-immune CPU-work accounting: /proc/stat busy jiffies count only
+    cycles this guest actually executed (hypervisor steal inflates WALL, not
+    busy), so busy_cores × wall = the stage's true guest CPU-seconds even in
+    a loud window. The ratio work_4N / work_N ("inflation", ideal 1.0) is an
+    UPPER BOUND on the engine's parallel overhead: a neighbor hammering the
+    shared memory system makes each of our scheduled cycles do less work
+    (stalls are busy time), so loud windows inflate the 4N side more than
+    the N side — the minimum across runs is the tightest bound and the
+    number converges to the engine's true overhead as windows get cleaner.
+    Admission: no competing guest load (busy within the level's allotment),
+    steal NOT gated — that is the point of this table."""
+    per_stage: dict[str, list[tuple[float, float]]] = {s: [] for s in STAGE_ORDER}
+    for h in history:
+        k = h.get("knee")
+        if not k:
+            continue
+        lo, hi = (str(x) for x in k["levels"])
+        c_lo, c_hi = k["cluster"][lo], k["cluster"][hi]
+        s_lo, s_hi = c_lo.get("stages", {}), c_hi.get("stages", {})
+        for st in STAGE_ORDER:
+            # exact source when present: per-phase process-group CPU
+            # (hostmetrics.pg_cpu_jiffies — the job's own processes only,
+            # no admission gate needed)
+            if f"{st}_pg_cpu_s" in s_lo and f"{st}_pg_cpu_s" in s_hi:
+                w_lo, w_hi = s_lo[f"{st}_pg_cpu_s"], s_hi[f"{st}_pg_cpu_s"]
+                if w_lo > 0.5 and w_hi > 0.5:
+                    per_stage[st].append((w_lo, w_hi))
+                continue
+            # fallback for records predating pg-CPU: whole-guest busy×wall,
+            # admissible only without competing guest load
+            if f"{st}_busy_cores" not in s_lo or f"{st}_busy_cores" not in s_hi:
+                continue
+            allot_lo = 1.0 if st in SERIAL_STAGES else float(c_lo["cpus"])
+            allot_hi = 1.0 if st in SERIAL_STAGES else float(c_hi["cpus"])
+            if (
+                s_lo[f"{st}_busy_cores"] >= allot_lo + BUSY_CLEAN_MARGIN
+                or s_hi[f"{st}_busy_cores"] >= allot_hi + BUSY_CLEAN_MARGIN
+            ):
+                continue
+            w_lo = s_lo[f"{st}_busy_cores"] * s_lo[st]
+            w_hi = s_hi[f"{st}_busy_cores"] * s_hi[st]
+            if w_lo > 0.5 and w_hi > 0.5:
+                per_stage[st].append((w_lo, w_hi))
+    rows = []
+    for st in STAGE_ORDER:
+        meas = per_stage[st]
+        if not meas:
+            rows.append(f"| {st} | — | — | — | 0 runs |")
+            continue
+        # tightest bound: the run with the LEAST inflation (noise only ever
+        # adds stalled-but-busy cycles, mostly on the wider level)
+        w_lo, w_hi = min(meas, key=lambda m: m[1] / m[0])
+        rows.append(
+            f"| {st} | {w_lo:.1f} | {w_hi:.1f} | {w_hi / w_lo:.2f} | "
+            f"{len(meas)} runs |"
+        )
+    if not any(per_stage.values()):
+        return []
+    return [
+        "### CPU-work accounting (steal-immune, upper-bounds engine overhead)",
+        "",
+        "CPU-seconds the stage actually executed — per-phase process-group "
+        "CPU (`*_pg_cpu_s`, the job's own processes only) on records that "
+        "carry it, else whole-guest `busy_cores × wall` (admitted only "
+        "without competing guest load). The hypervisor's steal inflates "
+        "wall, never CPU time, so this metric survives loud windows. "
+        "`inflation` = CPU-work at 4N ÷ "
+        "CPU-work at N (ideal 1.0 — same job, same input, 4× the cores). "
+        "It upper-bounds the engine's parallel overhead: neighbor pressure "
+        "on the shared memory system turns our cycles into stalls "
+        "(stalled-but-scheduled counts as busy), hitting the wider level "
+        "harder, so each row shows the MINIMUM-inflation run — the "
+        "tightest available bound, which converges to the engine's true "
+        "overhead as windows get cleaner. Wall efficiency ≈ 1/inflation "
+        "when all stages are fully parallel, so this is the same story as "
+        "the wall tables told without the host's dice.",
+        "",
+        "| stage | best CPU-work N (core·s) | CPU-work 4N (same run) | "
+        "inflation 4N/N | evidence |",
+        "|---|---|---|---|---|",
+        *rows,
+        "",
+    ]
+
+
 def write_bench_md(record: dict, history: list[dict]) -> None:
     """Render the last full record + all knee history to BENCH.md."""
-    knee_all_lines = _knee_history_lines(history) + _stage_clean_lines(history)
+    knee_all_lines = (
+        _knee_history_lines(history)
+        + _stage_clean_lines(history)
+        + _cpu_work_lines(history)
+    )
     history = [h for h in history if not h.get("knee_only")]
     n, n4 = record["levels"]
     factor = n4 // n

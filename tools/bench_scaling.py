@@ -265,15 +265,31 @@ def _scaling_body(
             "doc_id", F.format_string("doc_%08d", (seq / 64).cast("long"))
         ).withColumn("span_idx", (seq % 64).cast("int"))
         pip = pip_join(elements, regions)
+        from osmquadtree_bin_spark.hostmetrics import (
+            pg_cpu_by_role, pg_cpu_jiffies, pg_cpu_seconds_delta,
+            role_delta_seconds,
+        )
+
+        roles = os.environ.get("BENCH_CPU_ROLES") == "1"
         stat0 = _proc_stat()
+        p0 = pg_cpu_jiffies()
+        r0 = pg_cpu_by_role() if roles else None
         t0 = time.perf_counter()
         from osmquadtree_bin_spark.tuning import scan_splits_for
 
         with scan_splits_for(slim):  # core-wave split sizing (tuning.py)
             n_pip = pip.count()
         stages["pip"] = round(time.perf_counter() - t0, 3)
+        p1 = pg_cpu_jiffies()
         for kk, vv in _steal_cores(stat0, _proc_stat()).items():
             stages[f"pip_{kk}"] = vv
+        cpu_s = pg_cpu_seconds_delta(p0, p1)
+        if cpu_s is not None:
+            stages["pip_pg_cpu_s"] = cpu_s
+        if roles:
+            rd = role_delta_seconds(r0, pg_cpu_by_role())
+            if rd:
+                stages["pip_cpu_roles"] = rd
         return stages, n_elements + n_pip, n_elements
 
     # warm-up pass: python worker spawn, codegen JIT, shuffle file creation —

@@ -130,3 +130,65 @@ def test_no_parallel_coverage_claims_no_composite():
 def test_empty_history_renders_nothing():
     assert br._stage_clean_lines([]) == []
     assert br._stage_clean_lines([{"date": "d", "cluster": {}}]) == []
+
+
+def _headline_record(eff, steal_clean, spread, contaminated=False, ceiling=0.9):
+    return {
+        "knee_only": True,
+        "date": "d",
+        "contaminated": contaminated,
+        "knee": {
+            "levels": [2, 8],
+            "efficiency_cluster": eff,
+            "steal_clean": steal_clean,
+            "probe_spread": spread,
+            "calib_raw_cpu": {"efficiency": ceiling},
+            "cluster": {
+                "2": {"rows": 100, "rows_per_sec": 10.0},
+                "8": {"rows": 100, "rows_per_sec": 10.0 * 4 * eff},
+            },
+        },
+    }
+
+
+def test_knee_clean_stats_picks_best_clean_and_best_tight():
+    h = [
+        _headline_record(0.9, steal_clean=False, spread=1.0),   # loud: out
+        _headline_record(0.80, steal_clean=True, spread=1.5),   # clean, loose
+        _headline_record(0.75, steal_clean=True, spread=1.03),  # clean, tight
+        _headline_record(0.70, steal_clean=True, spread=1.01),  # clean, tight
+        # steal-clean but contaminated flag (probe/other detector) — excluded
+        _headline_record(0.95, steal_clean=True, spread=1.0, contaminated=True),
+        # super-linear artifact (eff > 1) must never headline
+        _headline_record(1.27, steal_clean=True, spread=1.0),
+    ]
+    s = br._knee_clean_stats(h)
+    assert s["n_clean"] == 3
+    assert s["best"]["efficiency_cluster"] == 0.80
+    assert s["best_tight"]["efficiency_cluster"] == 0.75
+
+
+def test_knee_clean_stats_empty_without_clean_runs():
+    s = br._knee_clean_stats([_headline_record(0.9, False, 1.0)])
+    assert s["best"] is None and s["best_tight"] is None and s["n_clean"] == 0
+
+
+def test_stage_composite_requires_full_parallel_coverage():
+    parallel = [s for s in br.STAGE_ORDER if s not in br.SERIAL_STAGES]
+    # cover all but one parallel stage → no composite claimed
+    partial = [
+        _knee_record(
+            "d1", _stages(8.0, 0.0, 2.0, (st,)), _stages(2.0, 0.0, 8.0, (st,))
+        )
+        for st in parallel[:-1]
+    ]
+    assert br._stage_composite(partial) is None
+    # full coverage → Σt_N / (4 Σt_4N) with every stage at 8→2: 1.0
+    full = partial + [
+        _knee_record(
+            "d2",
+            _stages(8.0, 0.0, 2.0, (parallel[-1],)),
+            _stages(2.0, 0.0, 8.0, (parallel[-1],)),
+        )
+    ]
+    assert br._stage_composite(full) == 1.0

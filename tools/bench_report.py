@@ -93,6 +93,25 @@ def _knee_lines(record: dict) -> list[str]:
     ]
 
 
+def _knee_clean_stats(history: list[dict]) -> dict:
+    """Headline numbers over all below-knee pairs: the best steal-clean
+    efficiency, and the best steal-clean pair whose single-thread probe
+    spread is also < 1.25 (the round-4 verdict's tightness bar — both
+    contamination detectors quiet at once)."""
+    clean = [
+        h["knee"]
+        for h in history
+        if h.get("knee")
+        and not h.get("contaminated")
+        and h["knee"].get("steal_clean")
+        and h["knee"]["efficiency_cluster"] <= 1.0
+    ]
+    tight = [k for k in clean if (k.get("probe_spread") or 99) < 1.25]
+    best = max(clean, key=lambda k: k["efficiency_cluster"], default=None)
+    best_t = max(tight, key=lambda k: k["efficiency_cluster"], default=None)
+    return {"n_clean": len(clean), "best": best, "best_tight": best_t}
+
+
 def _knee_history_lines(history: list[dict]) -> list[str]:
     """Every below-knee measurement in history (full runs' knee sections +
     --knee-repeat records): shared-host steal only ever slows a level, so
@@ -186,19 +205,9 @@ STEAL_CLEAN_CORES = float(os.environ.get("BENCH_STEAL_CLEAN_CORES", "0.35"))
 BUSY_CLEAN_MARGIN = float(os.environ.get("BENCH_BUSY_CLEAN_MARGIN", "1.5"))
 
 
-def _stage_clean_lines(history: list[dict]) -> list[str]:
-    """Steal-verified per-stage scaling: on a box whose neighbor arrives in
-    multi-minute bursts, a 12-minute pair is rarely clean end-to-end, but
-    individual STAGES often are. Every knee record since the steal counters
-    carries per-stage stolen-core averages on both levels; a stage
-    measurement is admissible iff during its own window, on BOTH levels of
-    the SAME run, (a) the hypervisor stole < 0.35 cores AND (b) guest
-    busy-cores stayed within the level's own core allotment + margin (busy
-    beyond that is another guest process competing — invisible to the steal
-    counter). Steal and competition only ever inflate a wall, so the minimum
-    admissible wall per (stage, level) is the engine's best-verified wall,
-    and the composite Σt_N / (4·Σt_4N) over those walls is the engine's
-    steal-verified below-knee efficiency."""
+def _admitted_stage_walls(history: list[dict]) -> dict:
+    """Per-stage admissible (N wall, 4N wall, date) measurements — the
+    admission rule documented in _stage_clean_lines."""
     per_stage: dict[str, list[tuple[float, float, str]]] = {s: [] for s in STAGE_ORDER}
     for h in history:
         k = h.get("knee")
@@ -222,6 +231,38 @@ def _stage_clean_lines(history: list[dict]) -> list[str]:
                 continue
             if _clean(s_lo, st, c_lo["cpus"]) and _clean(s_hi, st, c_hi["cpus"]):
                 per_stage[st].append((s_lo[st], s_hi[st], h["date"]))
+    return per_stage
+
+
+def _stage_composite(history: list[dict]) -> float | None:
+    """Composite Σt_N / (4·Σt_4N) over the best admissible wall per
+    parallel stage; None until every parallel stage has a clean window."""
+    per_stage = _admitted_stage_walls(history)
+    tot_lo = tot_hi = 0.0
+    for st in STAGE_ORDER:
+        if st in SERIAL_STAGES:
+            continue
+        if not per_stage[st]:
+            return None
+        tot_lo += min(m[0] for m in per_stage[st])
+        tot_hi += min(m[1] for m in per_stage[st])
+    return round(tot_lo / (4 * tot_hi), 4) if tot_hi else None
+
+
+def _stage_clean_lines(history: list[dict]) -> list[str]:
+    """Steal-verified per-stage scaling: on a box whose neighbor arrives in
+    multi-minute bursts, a 12-minute pair is rarely clean end-to-end, but
+    individual STAGES often are. Every knee record since the steal counters
+    carries per-stage stolen-core averages on both levels; a stage
+    measurement is admissible iff during its own window, on BOTH levels of
+    the SAME run, (a) the hypervisor stole < 0.35 cores AND (b) guest
+    busy-cores stayed within the level's own core allotment + margin (busy
+    beyond that is another guest process competing — invisible to the steal
+    counter). Steal and competition only ever inflate a wall, so the minimum
+    admissible wall per (stage, level) is the engine's best-verified wall,
+    and the composite Σt_N / (4·Σt_4N) over those walls is the engine's
+    steal-verified below-knee efficiency."""
+    per_stage = _admitted_stage_walls(history)
     rows, tot_lo, tot_hi, covered, any_clean = [], 0.0, 0.0, 0, 0
     n_parallel = len([s for s in STAGE_ORDER if s not in SERIAL_STAGES])
     for st in STAGE_ORDER:
@@ -376,6 +417,7 @@ def write_bench_md(record: dict, history: list[dict]) -> None:
         + _stage_clean_lines(history)
         + _cpu_work_lines(history)
     )
+    knee_history = history
     history = [h for h in history if not h.get("knee_only")]
     n, n4 = record["levels"]
     factor = n4 // n
@@ -405,6 +447,51 @@ def write_bench_md(record: dict, history: list[dict]) -> None:
     clean_hist = [h for h in history if not h.get("contaminated")]
     effs = [h["efficiency_cluster"] for h in clean_hist]
     raws = [h["calib_raw_cpu"]["efficiency"] for h in clean_hist]
+    stats = _knee_clean_stats(knee_history)
+    composite = _stage_composite(knee_history)
+    headline: list[str] = []
+    if stats["best"] is not None:
+        b, bt = stats["best"], stats["best_tight"]
+        kn, kn4 = b["levels"]
+        headline = [
+            "## North-rule verdict (auto-computed from the measured history)",
+            "",
+            f"Below the bandwidth knee ({kn}→{kn4} cores, 1→4 executor JVMs, "
+            "where the no-engine hardware ceiling clears ~0.89), over "
+            f"{stats['n_clean']} hypervisor-steal-clean pairs:",
+            "",
+            f"- **Best steal-clean efficiency: {b['efficiency_cluster']}** "
+            f"(no-engine ceiling that run: "
+            f"{b['calib_raw_cpu']['efficiency']}).",
+            *(
+                [
+                    f"- **Best fully-tight pair (steal-clean AND probe-spread "
+                    f"{bt.get('probe_spread')} < 1.25): "
+                    f"{bt['efficiency_cluster']}** — "
+                    f"{bt['cluster'][str(kn)]['rows']:,} rows at "
+                    f"{bt['cluster'][str(kn)]['rows_per_sec']:,.0f} rows/s "
+                    f"({kn} cores) vs "
+                    f"{bt['cluster'][str(kn4)]['rows_per_sec']:,.0f} rows/s "
+                    f"({kn4} cores).",
+                ]
+                if bt is not None
+                else []
+            ),
+            *(
+                [
+                    f"- **Composite steal-verified per-stage efficiency: "
+                    f"{composite}** (best hypervisor-clean window per stage; "
+                    "table below).",
+                ]
+                if composite is not None
+                else []
+            ),
+            "",
+            "Above the knee the box's single memory system is the limiter "
+            "(no-engine ceiling ~0.7 at 8→32); the full-run tables below "
+            "keep that continuity evidence.",
+            "",
+        ]
     lines = [
         "# BENCH — scaling evidence (north rule)",
         "",
@@ -413,6 +500,7 @@ def write_bench_md(record: dict, history: list[dict]) -> None:
         "THAT run — nothing is hand-maintained. History: "
         "BENCH_SCALING_HISTORY.json.",
         "",
+        *headline,
         "The north-rule job (span parse + quadtree Calculate → slim elements "
         "table → count tree → group walk → tile assignment → tiled "
         "shuffle-write, plus a PIP join) on the same deterministic input of "

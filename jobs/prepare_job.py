@@ -57,6 +57,40 @@ def _parquet_rows(path: str) -> int | None:
         return None
 
 
+def _tile_rows_from_footers(
+    tiled_path: str, max_files: int = 50_000
+) -> dict[int, int] | None:
+    """Per-tile written row counts from the parquet footers of a local
+    hive-partitioned layout (tile_idx=N/ dirs) — a driver-side metadata
+    read replacing a full distributed scan of the store just written. On
+    Iceberg this audit is a single manifest-summary scan; on HDFS/S3 the
+    footers stream through the FS API or the count distributes per tile.
+    None → caller falls back to the Spark count (non-partitioned layout,
+    non-local fs, or more files than a serial driver walk should touch)."""
+    try:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        dirs = glob.glob(os.path.join(tiled_path, "tile_idx=*"))
+        if not dirs:
+            return None
+        per_dir = {
+            int(os.path.basename(d).split("=", 1)[1]): glob.glob(
+                os.path.join(d, "*.parquet")
+            )
+            for d in dirs
+        }
+        if sum(len(fs) for fs in per_dir.values()) > max_files:
+            return None
+        return {
+            t: sum(pq.read_metadata(f).num_rows for f in fs)
+            for t, fs in per_dir.items()
+        }
+    except Exception:  # noqa: BLE001 — any surprise → honest fallback
+        return None
+
+
 def _phase_complete(path: str) -> bool:
     """A parquet phase output is a checkpoint iff Spark committed it
     (_SUCCESS marker — partial output from a killed run has none). Local-fs
@@ -248,28 +282,67 @@ def prepare_pipeline(
 
     lineage_path = os.path.join(work_dir, f"lineage{run_tag}")
     if lineage:
-        gdf = spark.createDataFrame(
-            groups.rename(columns={"cnt": "expected_rows"})[
-                ["tile_idx", "tile_qt", "expected_rows"]
-            ]
-        )
-        tiled = spark.read.parquet(tiled_path)
+        expected = groups.rename(columns={"cnt": "expected_rows"})[
+            ["tile_idx", "tile_qt", "expected_rows"]
+        ]
 
         def lineage_write():
-            with scan_splits_for(tiled):
-                (
-                    tiled.groupBy(F.col("tile_idx").cast("long").alias("tile_idx"))
-                    .agg(F.count(F.lit(1)).alias("rows"))
-                    .join(F.broadcast(gdf), "tile_idx", "full")
-                    .select(
-                        "tile_idx",
-                        "tile_qt",
-                        F.coalesce("rows", F.lit(0)).alias("rows"),
-                        F.coalesce("expected_rows", F.lit(0)).alias("expected_rows"),
+            # Fast path: per-tile written row counts straight from the
+            # parquet footers of the hive layout — a driver-side metadata
+            # read, the local-fs analogue of Iceberg's single manifest-
+            # summary scan (which is how this audit runs in production).
+            # The previous implementation re-scanned the whole tiled store
+            # with a Spark count job: a flat ~0.5 s at every parallelism
+            # level, i.e. the pipeline's worst-scaling phase for an answer
+            # the writer's own footers already hold.
+            actual = _tile_rows_from_footers(tiled_path)
+            if actual is None:
+                # non-local fs / non-partitioned layout / too many files
+                # for a driver walk → the distributed count
+                gdf = spark.createDataFrame(expected)
+                tiled = spark.read.parquet(tiled_path)
+                with scan_splits_for(tiled):
+                    (
+                        tiled.groupBy(
+                            F.col("tile_idx").cast("long").alias("tile_idx")
+                        )
+                        .agg(F.count(F.lit(1)).alias("rows"))
+                        .join(F.broadcast(gdf), "tile_idx", "full")
+                        .select(
+                            "tile_idx",
+                            "tile_qt",
+                            F.coalesce("rows", F.lit(0)).alias("rows"),
+                            F.coalesce("expected_rows", F.lit(0)).alias(
+                                "expected_rows"
+                            ),
+                        )
+                        .write.mode("overwrite")
+                        .parquet(lineage_path)
                     )
-                    .write.mode("overwrite")
-                    .parquet(lineage_path)
-                )
+                return
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            adf = pd.DataFrame(
+                {"tile_idx": list(actual.keys()), "rows": list(actual.values())}
+            )
+            lin = expected.merge(adf, on="tile_idx", how="outer")
+            lin["rows"] = lin["rows"].fillna(0).astype("int64")
+            lin["expected_rows"] = (
+                lin["expected_rows"].fillna(0).astype("int64")
+            )
+            lin["tile_idx"] = lin["tile_idx"].astype("int64")
+            # nullable: a written tile missing from groups (an anomaly the
+            # audit exists to expose) keeps a NULL tile_qt, like the
+            # distributed full-join path
+            lin["tile_qt"] = lin["tile_qt"].astype("Int64")
+            tbl = pa.Table.from_pandas(lin, preserve_index=False)
+            os.makedirs(lineage_path, exist_ok=True)
+            pq.write_table(
+                tbl, os.path.join(lineage_path, "part-00000.parquet")
+            )
+            open(os.path.join(lineage_path, "_SUCCESS"), "w").close()
 
         timed("lineage", lineage_write)
 

@@ -162,3 +162,49 @@ def test_uncommitted_output_is_not_a_checkpoint(spark, tmp_path):
     stages2, arts2 = _run(spark, docs, out, resume=True)
     assert "parse_qt" not in arts2["resumed_phases"]
     assert stages2["parse_qt"] > 0
+
+
+def test_lineage_footer_path_equals_distributed_count(spark, tmp_path):
+    """The hive-layout lineage audit reads the written tiles' parquet
+    footers driver-side (the Iceberg-manifest analogue); the non-partitioned
+    layout takes the distributed count. Same tiles in, identical audit
+    table out — and the fast path must not have launched a Spark scan of
+    the store (footer metadata only)."""
+    from osmquadtree_bin_spark.datagen import gen_docs_dist
+
+    docs = gen_docs_dist(spark, n_docs=600, seed=13, partitions=2)
+    _s1, a1 = _run(spark, docs, str(tmp_path / "hive"), partition_by_tile=True)
+    _s2, a2 = _run(spark, docs, str(tmp_path / "flat"), partition_by_tile=False)
+    lin1 = (
+        spark.read.parquet(a1["lineage_path"])
+        .toPandas()
+        .sort_values("tile_idx")
+        .reset_index(drop=True)
+    )
+    lin2 = (
+        spark.read.parquet(a2["lineage_path"])
+        .toPandas()
+        .sort_values("tile_idx")
+        .reset_index(drop=True)
+    )
+    for col in ("tile_idx", "tile_qt", "rows", "expected_rows"):
+        assert lin1[col].astype("int64").tolist() == lin2[col].astype(
+            "int64"
+        ).tolist(), col
+    assert (lin1["rows"] == lin1["expected_rows"]).all()
+
+
+def test_tile_rows_from_footers_fallbacks(tmp_path):
+    """Non-partitioned layout and over-budget file counts decline the
+    driver walk (→ distributed count)."""
+    from jobs.prepare_job import _tile_rows_from_footers
+
+    assert _tile_rows_from_footers(str(tmp_path)) is None  # no tile dirs
+    d = tmp_path / "tile_idx=3"
+    d.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"id": [1, 2, 3]}), str(d / "f.parquet"))
+    assert _tile_rows_from_footers(str(tmp_path)) == {3: 3}
+    assert _tile_rows_from_footers(str(tmp_path), max_files=0) is None

@@ -63,18 +63,26 @@ def _master_for(cpus: int, mode: str, exec_cores: int | None = None) -> tuple[st
     return f"local-cluster[{workers},{ec},{EXEC_MEM_MB}]", extra
 
 
-def _cpu_probe() -> float:
+def _cpu_probe(reps: int = 3) -> float:
     """Fixed single-thread integer work (~1s on an idle core) run at the
     START of every scaling level: if the box is being shared, this wall
     inflates, so the level-to-level spread is a built-in contention
     detector (the 15:33 r3 run was silently contaminated by a neighbor —
-    this makes that failure mode self-reporting)."""
-    t0 = time.perf_counter()
-    x, a = 123456789, 0
-    for _ in range(8_000_000):
-        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
-        a ^= x
-    return time.perf_counter() - t0
+    this makes that failure mode self-reporting). Min of ``reps`` runs:
+    a single pass carries CPython/frequency jitter that can flag a genuinely
+    idle pair as loose (one 14:42 pair measured spread 2.6 with hypervisor
+    steal at 0.025 cores); the minimum estimates the uncontended
+    single-thread speed, so the spread reflects SUSTAINED host-speed
+    differences between levels, not one-off scheduler hiccups."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x, a = 123456789, 0
+        for _ in range(8_000_000):
+            x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+            a ^= x
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def _proc_stat() -> tuple[int, int, int] | None:

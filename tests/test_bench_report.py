@@ -96,7 +96,8 @@ def test_serial_stage_excluded_from_composite():
     joined = "\n".join(br._stage_clean_lines(h))
     assert "| find_groups | 0.4 | 0.4 | n/a (serial by design, excluded)" in joined
     # composite over parse_qt only: 100/(4*25) = 1.0
-    assert "1/5 clean-covered parallel stages): 1.0" in joined
+    n_parallel = len([s for s in br.STAGE_ORDER if s not in br.SERIAL_STAGES])
+    assert f"1/{n_parallel} clean-covered parallel stages): 1.0" in joined
 
 
 def test_serial_stage_busy_allotment_is_one_core():

@@ -195,7 +195,13 @@ STAGE_ORDER = (
 # "efficiency" is definitionally ~1/factor and says nothing about the
 # engine's distributed stages, so it is reported by absolute wall and
 # excluded from the composite.
-SERIAL_STAGES = frozenset({"find_groups"})
+# lineage joined this class when the per-tile audit became a driver-side
+# parquet-footer walk (the local-fs analogue of Iceberg's manifest-summary
+# scan; jobs/prepare_job.py:_tile_rows_from_footers): a ~0.5 s single-thread
+# metadata read whose wall is independent of executor count. Earlier history
+# records measured the old distributed-count audit; both are reported by
+# absolute wall here, neither says anything about distributed scaling.
+SERIAL_STAGES = frozenset({"find_groups", "lineage"})
 STEAL_CLEAN_CORES = float(os.environ.get("BENCH_STEAL_CLEAN_CORES", "0.35"))
 # busy-core headroom over the level's allotted cores: the level's own JVM +
 # python driver legitimately use ~cpus + a fraction (GC/IO threads are
@@ -311,8 +317,11 @@ def _stage_clean_lines(history: list[dict]) -> list[str]:
         f"allotment + {BUSY_CLEAN_MARGIN} (competition from another guest "
         "process is invisible to the steal counter but shows up as excess "
         "busy). Walls below are the minimum over admissible windows (steal "
-        "and competition only ever inflate a wall). The serial-by-design "
-        "driver-side group walk is shown by absolute wall only.",
+        "and competition only ever inflate a wall). The two serial-by-design "
+        "driver-side steps — the group walk and the parquet-footer lineage "
+        "audit (the Iceberg manifest-scan analogue; a ~0.5 s metadata read "
+        "whose wall is independent of executor count) — are shown by "
+        "absolute wall only.",
         "",
         "| stage | best clean N wall (s) | best clean 4N wall (s) | "
         "efficiency | evidence |",
@@ -659,8 +668,9 @@ def write_bench_md(record: dict, history: list[dict]) -> None:
         "- One shuffle per phase: count-tree agg (map-side combine), tile "
         "repartition + sorted write. No driver collect beyond the capped "
         "count tree (≤150k cells) and the group list (broadcast back).",
-        "- The group walk (the only serial step) is 0.3-0.4 s at the cap "
-        "and independent of input size.",
+        "- The two serial steps are driver-side metadata work, independent "
+        "of input size: the group walk (0.3-0.4 s at the capped tree) and "
+        "the lineage audit (a parquet-footer/manifest read, ~0.5 s).",
         "- The hot elements/tiled tables carry no strings: the packed id "
         "encodes (type, doc seq, span_idx); doc_id is derived only at the "
         "serving edge.",

@@ -100,9 +100,12 @@ def test_serial_stage_excluded_from_composite():
     assert f"1/{n_parallel} clean-covered parallel stages): 1.0" in joined
 
 
-def test_serial_stage_busy_allotment_is_one_core():
+def test_serial_stage_busy_beyond_level_allotment_rejected():
     # a serial stage showing 6 busy cores at a 2-core level means another
-    # process competed during its window — reject despite zero steal
+    # process competed during its window (beyond the level's cpus + margin)
+    # — reject despite zero steal. The stage's own work is ~1 core, but the
+    # app's executor JVMs legitimately contribute background busy up to the
+    # level's allotment.
     h = [
         _knee_record(
             "d1",

@@ -228,9 +228,13 @@ def _admitted_stage_walls(history: list[dict]) -> dict:
             if steal is None or steal >= STEAL_CLEAN_CORES:
                 return False
             busy = stages.get(f"{st}_busy_cores")
-            # serial driver-side stages use ~1 core regardless of level
-            allot = 1.0 if st in SERIAL_STAGES else float(cpus)
-            return busy is not None and busy < allot + BUSY_CLEAN_MARGIN
+            # the busy gate exists to catch OTHER-guest competition, which
+            # shows as whole-guest busy beyond the level's own allotment.
+            # Serial driver-side stages use ~1 core themselves, but their
+            # short windows legitimately overlap the app's own executor-JVM
+            # background threads (post-write cleanup, GC), so they get the
+            # same level allotment — competition still trips the gate.
+            return busy is not None and busy < float(cpus) + BUSY_CLEAN_MARGIN
 
         for st in STAGE_ORDER:
             if st not in s_lo or st not in s_hi:
@@ -366,8 +370,8 @@ def _cpu_work_lines(history: list[dict]) -> list[str]:
             # admissible only without competing guest load
             if f"{st}_busy_cores" not in s_lo or f"{st}_busy_cores" not in s_hi:
                 continue
-            allot_lo = 1.0 if st in SERIAL_STAGES else float(c_lo["cpus"])
-            allot_hi = 1.0 if st in SERIAL_STAGES else float(c_hi["cpus"])
+            allot_lo = float(c_lo["cpus"])
+            allot_hi = float(c_hi["cpus"])
             if (
                 s_lo[f"{st}_busy_cores"] >= allot_lo + BUSY_CLEAN_MARGIN
                 or s_hi[f"{st}_busy_cores"] >= allot_hi + BUSY_CLEAN_MARGIN

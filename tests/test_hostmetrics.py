@@ -54,8 +54,13 @@ def test_role_attribution_sees_python_driver():
     assert d is not None
     # the busy loop ran in THIS python process → py-driver bucket
     assert d.get("py-driver", 0) > 0.05
-    # no JVM in this process group → no jvm buckets appear from nowhere
-    assert not any(k.startswith(("driver-jvm", "exec-jvm")) for k in d)
+    # JVM buckets must not appear from nowhere — but in suite order an
+    # earlier Spark test's JVM shares this process group, and its GC/timer
+    # threads can legitimately tick a jiffy during the burn. Assert the
+    # invariant only when the snapshot itself shows no JVM present.
+    jvm_in_pg = any(k.startswith(("driver-jvm", "exec-jvm")) for k in (r1 or {}))
+    if not jvm_in_pg:
+        assert not any(k.startswith(("driver-jvm", "exec-jvm")) for k in d)
 
 
 def test_role_delta_drops_vanished_and_zero_roles():

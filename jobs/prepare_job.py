@@ -148,36 +148,26 @@ def prepare_pipeline(
     stages: dict[str, float] = {}
     resumed: list[str] = []
 
-    def _cpu_counters():
-        """(busy, steal, total) jiffies from /proc/stat — per-phase host
-        metrics alongside the walls (the north rule's per-phase metrics).
-        ``steal`` is the hypervisor's counter of runnable-but-preempted time:
-        on a shared host it tells apart "this phase is slow" from "this
-        phase was robbed", per phase. None off-Linux."""
-        try:
-            with open("/proc/stat") as f:
-                v = [int(x) for x in f.readline().split()[1:9]]
-            return v[0] + v[1] + v[2] + v[5] + v[6], v[7], sum(v)
-        except (OSError, IndexError, ValueError):
-            return None
-
     def timed(label, fn):
         # per-phase host metrics (hostmetrics.py): whole-guest busy/steal
         # separates "slow" from "robbed"; process-group CPU is the phase's
         # own compute cost, immune to steal and to other guest processes
         from osmquadtree_bin_spark.hostmetrics import (
             pg_cpu_by_role, pg_cpu_jiffies, pg_cpu_seconds_delta,
-            role_delta_seconds,
+            proc_stat, role_delta_seconds,
         )
 
         roles = os.environ.get("BENCH_CPU_ROLES") == "1"
-        c0 = _cpu_counters()
+        # whole-guest (busy, steal, total) jiffies: ``steal`` is the
+        # hypervisor's runnable-but-preempted counter — per phase it tells
+        # apart "this phase is slow" from "this phase was robbed"
+        c0 = proc_stat()
         p0 = pg_cpu_jiffies()
         r0 = pg_cpu_by_role() if roles else None
         t0 = time.perf_counter()
         r = fn()
         stages[label] = round(time.perf_counter() - t0, 3)
-        c1 = _cpu_counters()
+        c1 = proc_stat()
         p1 = pg_cpu_jiffies()
         if roles:
             rd = role_delta_seconds(r0, pg_cpu_by_role())
@@ -320,6 +310,8 @@ def prepare_pipeline(
                         .parquet(lineage_path)
                     )
                 return
+            import shutil
+
             import pandas as pd
             import pyarrow as pa
             import pyarrow.parquet as pq
@@ -327,18 +319,27 @@ def prepare_pipeline(
             adf = pd.DataFrame(
                 {"tile_idx": list(actual.keys()), "rows": list(actual.values())}
             )
-            lin = expected.merge(adf, on="tile_idx", how="outer")
+            # nullable Int64 BEFORE the merge: an outer merge that adds a
+            # written-but-ungrouped tile (the anomaly the audit exists to
+            # expose) would otherwise coerce tile_qt to float64 and destroy
+            # the low bits of every key >= 2^53 — quadtree keys pack the
+            # path in the high bits, so that is all of them
+            exp = expected.copy()
+            exp["tile_qt"] = exp["tile_qt"].astype("Int64")
+            lin = exp.merge(adf, on="tile_idx", how="outer")
             lin["rows"] = lin["rows"].fillna(0).astype("int64")
             lin["expected_rows"] = (
                 lin["expected_rows"].fillna(0).astype("int64")
             )
             lin["tile_idx"] = lin["tile_idx"].astype("int64")
-            # nullable: a written tile missing from groups (an anomaly the
-            # audit exists to expose) keeps a NULL tile_qt, like the
-            # distributed full-join path
-            lin["tile_qt"] = lin["tile_qt"].astype("Int64")
             tbl = pa.Table.from_pandas(lin, preserve_index=False)
-            os.makedirs(lineage_path, exist_ok=True)
+            # true overwrite semantics, like the distributed path's
+            # write.mode("overwrite"): a prior run's part files (e.g. a
+            # distributed-count write under a different layout flag, or an
+            # uncommitted kill) must not be unioned into the audit table
+            if os.path.isdir(lineage_path):
+                shutil.rmtree(lineage_path)
+            os.makedirs(lineage_path)
             pq.write_table(
                 tbl, os.path.join(lineage_path, "part-00000.parquet")
             )

@@ -45,6 +45,7 @@ def pg_cpu_jiffies() -> int | None:
     except (AttributeError, OSError):
         return None
     total = 0
+    seen = False
     for st in glob.glob("/proc/[0-9]*/stat"):
         try:
             with open(st) as f:
@@ -53,10 +54,14 @@ def pg_cpu_jiffies() -> int | None:
                 parts = f.read().rsplit(") ", 1)[1].split()
             if int(parts[2]) != me:  # pgrp
                 continue
+            seen = True
             total += sum(int(parts[i]) for i in (11, 12, 13, 14))
         except (OSError, IndexError, ValueError):
             continue
-    return total
+    # no /proc (non-Linux POSIX: getpgrp succeeds, the glob is empty) —
+    # honor the documented None contract instead of reporting 0 jiffies;
+    # on Linux the caller's own entry always matches, so seen is True
+    return total if seen else None
 
 
 def pg_cpu_seconds_delta(before: int | None, after: int | None) -> float | None:

@@ -213,11 +213,18 @@ BUSY_CLEAN_MARGIN = float(os.environ.get("BENCH_BUSY_CLEAN_MARGIN", "1.5"))
 
 def _admitted_stage_walls(history: list[dict]) -> dict:
     """Per-stage admissible (N wall, 4N wall, date) measurements — the
-    admission rule documented in _stage_clean_lines."""
+    admission rule documented in _stage_clean_lines. Only records matching
+    the CURRENT knee config (levels AND n_docs of the newest knee record)
+    are pooled — mixing walls from a different level pair or input size
+    (BENCH_KNEE_N/4N/BENCH_KNEE_DOCS overrides) would publish an incoherent
+    min-wall ratio as the headline composite."""
     per_stage: dict[str, list[tuple[float, float, str]]] = {s: [] for s in STAGE_ORDER}
+    cfg = _knee_config(history)
     for h in history:
         k = h.get("knee")
         if not k:
+            continue
+        if (tuple(k["levels"]), k.get("n_docs")) != cfg:
             continue
         lo, hi = (str(x) for x in k["levels"])
         c_lo, c_hi = k["cluster"][lo], k["cluster"][hi]
@@ -244,10 +251,31 @@ def _admitted_stage_walls(history: list[dict]) -> dict:
     return per_stage
 
 
+def _knee_config(history: list[dict]) -> tuple | None:
+    """(levels, n_docs) of the NEWEST knee record — the config whose walls
+    the report pools and whose level ratio sets the efficiency factor."""
+    for h in reversed(history):
+        k = h.get("knee")
+        if k:
+            return (tuple(k["levels"]), k.get("n_docs"))
+    return None
+
+
+def _knee_factor(history: list[dict]) -> float:
+    """Core ratio hi/lo of the current knee config (4.0 for the default
+    2→8); the renderer must not hard-code 4 when the levels come from env."""
+    cfg = _knee_config(history)
+    if not cfg:
+        return 4.0
+    (lo, hi), _ = cfg
+    return hi / lo if lo else 4.0
+
+
 def _stage_composite(history: list[dict]) -> float | None:
-    """Composite Σt_N / (4·Σt_4N) over the best admissible wall per
+    """Composite Σt_N / (factor·Σt_4N) over the best admissible wall per
     parallel stage; None until every parallel stage has a clean window."""
     per_stage = _admitted_stage_walls(history)
+    factor = _knee_factor(history)
     tot_lo = tot_hi = 0.0
     for st in STAGE_ORDER:
         if st in SERIAL_STAGES:
@@ -256,7 +284,7 @@ def _stage_composite(history: list[dict]) -> float | None:
             return None
         tot_lo += min(m[0] for m in per_stage[st])
         tot_hi += min(m[1] for m in per_stage[st])
-    return round(tot_lo / (4 * tot_hi), 4) if tot_hi else None
+    return round(tot_lo / (factor * tot_hi), 4) if tot_hi else None
 
 
 def _stage_clean_lines(history: list[dict]) -> list[str]:
@@ -273,6 +301,7 @@ def _stage_clean_lines(history: list[dict]) -> list[str]:
     and the composite Σt_N / (4·Σt_4N) over those walls is the engine's
     steal-verified below-knee efficiency."""
     per_stage = _admitted_stage_walls(history)
+    factor = _knee_factor(history)
     rows, tot_lo, tot_hi, covered, any_clean = [], 0.0, 0.0, 0, 0
     n_parallel = len([s for s in STAGE_ORDER if s not in SERIAL_STAGES])
     for st in STAGE_ORDER:
@@ -289,7 +318,7 @@ def _stage_clean_lines(history: list[dict]) -> list[str]:
                 f"excluded) | {len(meas)} clean run(s) |"
             )
             continue
-        eff = round(b_lo / (4 * b_hi), 3)
+        eff = round(b_lo / (factor * b_hi), 3)
         tot_lo += b_lo
         tot_hi += b_hi
         covered += 1
@@ -301,9 +330,9 @@ def _stage_clean_lines(history: list[dict]) -> list[str]:
     if covered:
         composite_line = (
             f"**Composite steal-verified below-knee efficiency "
-            f"(Σt_N / 4·Σt_4N over the {covered}/{n_parallel} "
+            f"(Σt_N / {factor:g}·Σt_4N over the {covered}/{n_parallel} "
             f"clean-covered parallel stages): "
-            f"{round(tot_lo / (4 * tot_hi), 4)}.**"
+            f"{round(tot_lo / (factor * tot_hi), 4)}.**"
         )
     else:
         composite_line = (

@@ -196,7 +196,132 @@ def find_groups(
     target: int = GROUP_TARGET,
     minimum: int = GROUP_MINIMUM,
 ) -> pd.DataFrame:
-    """A4: deterministic walk → ordered (tile_idx, tile_qt, cnt) frame."""
+    """A4: deterministic walk → ordered (tile_idx, tile_qt, cnt) frame.
+
+    Vectorized construction (r06): the serial driver walk is the pipeline's
+    Amdahl term, and profiling showed >80% of it was the pure-Python
+    patricia-tree build over the ~100k count-tree cells, not the group walk
+    itself. The compressed-trie structure is reconstructed with numpy
+    instead: node set = cells ∪ LCAs of adjacent sorted cells ∪ {root}
+    (the classic compressed-trie identity), subtree totals = contiguous
+    interval sums over the DFS-sorted leaf array (prefix-sum + two
+    searchsorteds), parents = the deeper of each node's LCA with its sorted
+    neighbours. The Python walk then only ever descends into nodes with
+    total > target (a few hundred at 100k cells), so the serial part is
+    O(groups), not O(cells). Semantics are bit-identical to the reference
+    walk — pinned by the goldens in tests/test_tiling_golden.py and the
+    exhaustive parity test against :func:`_find_groups_reference`."""
+    cells = np.asarray(cells, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+    order = np.argsort(cells, kind="stable")
+    cs = cells[order]
+    cn = counts[order]
+    n = len(cs)
+    lcas = qtk.common(cs[:-1], cs[1:]) if n > 1 else np.empty(0, np.int64)
+    nodes = np.unique(np.concatenate([np.zeros(1, np.int64), cs, lcas]))
+    m = len(nodes)
+    own = np.zeros(m, dtype=np.int64)
+    own[np.searchsorted(nodes, cs)] = cn
+    # subtree totals: descendants-or-self of a node are the contiguous run
+    # [node, next-path-prefix) in the integer-sorted leaf array (integer
+    # order IS DFS pre-order for these keys; equal-path ancestors sort
+    # before their descendants because depth lives in the low 5 bits)
+    csum = np.concatenate([np.zeros(1, np.int64), np.cumsum(cn)])
+    d = (nodes & 31).astype(np.uint64)
+    step = np.uint64(1) << (np.uint64(63) - np.uint64(2) * d)
+    hi_key = (nodes.astype(np.uint64) & np.uint64(~31 & (2**64 - 1))) + step
+    cs_u = cs.astype(np.uint64)
+    lo = np.searchsorted(cs_u, nodes.astype(np.uint64), side="left")
+    hi = np.searchsorted(cs_u, hi_key, side="left")
+    total = csum[hi] - csum[lo]
+    # parents: for sorted trie nodes, parent(v) = the deeper of lca(pred, v)
+    # and lca(v, succ) (excluding lca(v, succ) == v, i.e. v ancestor of succ)
+    if m > 1:
+        nl = qtk.common(nodes[:-1], nodes[1:])
+        left_key = np.concatenate([np.zeros(1, np.int64), nl])
+        right_key = np.concatenate([nl, np.zeros(1, np.int64)])
+        # right candidate is valid when it is a PROPER ancestor of v
+        rv = np.zeros(m, dtype=bool)
+        rv[:-1] = nl != nodes[:-1]
+        pick_right = rv & ((right_key & 31) > (left_key & 31))
+        parent_key = np.where(pick_right, right_key, left_key)
+        parent_idx = np.searchsorted(nodes, parent_key)
+        parent_idx[0] = -1
+    else:
+        parent_idx = np.array([-1], dtype=np.int64)
+    ord_ch = np.argsort(parent_idx, kind="stable")
+    ps = parent_idx[ord_ch]
+    rng = np.arange(m)
+    child_start = np.searchsorted(ps, rng, side="left")
+    child_end = np.searchsorted(ps, rng, side="right")
+
+    groups: list[tuple[int, int]] = []
+
+    def emit_at(j: int, tot: int) -> None:
+        # descend count-less single-child chains to the deepest equivalent
+        # node (reference semantics: the group lands at the subtree LCA)
+        while own[j] == 0 and child_end[j] - child_start[j] == 1:
+            j = ord_ch[child_start[j]]
+        groups.append((int(nodes[j]), int(tot)))
+
+    root_rem = 0
+    t0 = int(total[0])
+    if t0 <= target:
+        if t0 >= minimum:
+            emit_at(0, t0)
+        else:
+            root_rem = t0
+    else:
+        # frames: [node_idx, next_child_offset, accumulated_remainder]
+        st = [[0, 0, 0]]
+        while st:
+            fr = st[-1]
+            i = fr[0]
+            cs0, ce0 = child_start[i], child_end[i]
+            descended = False
+            while cs0 + fr[1] < ce0:
+                c = int(ord_ch[cs0 + fr[1]])
+                fr[1] += 1
+                t = int(total[c])
+                if t <= target:
+                    if t >= minimum:
+                        emit_at(c, t)
+                    else:
+                        fr[2] += t
+                else:
+                    st.append([c, 0, 0])
+                    descended = True
+                    break
+            if descended:
+                continue
+            leftover = int(own[i]) + fr[2]
+            st.pop()
+            if i == 0:
+                root_rem = leftover
+            elif leftover >= minimum:
+                groups.append((int(nodes[i]), leftover))
+            elif st:
+                st[-1][2] += leftover
+            else:  # non-root bottom frame cannot exist; defensive
+                root_rem += leftover
+
+    if root_rem > 0:
+        groups.append((0, root_rem))
+    out = pd.DataFrame(groups, columns=["tile_qt", "cnt"])
+    out = out.sort_values("tile_qt").reset_index(drop=True)
+    out.insert(0, "tile_idx", np.arange(len(out), dtype=np.int64))
+    return out.astype({"tile_qt": "int64", "cnt": "int64"})
+
+
+def _find_groups_reference(
+    cells: np.ndarray,
+    counts: np.ndarray,
+    target: int = GROUP_TARGET,
+    minimum: int = GROUP_MINIMUM,
+) -> pd.DataFrame:
+    """Reference A4 walk (pre-r06 implementation): explicit patricia-tree
+    build + full-node DFS. Kept as the semantic oracle for the vectorized
+    :func:`find_groups`; parity pinned by test_find_groups_vectorized_parity."""
     order = np.argsort(cells, kind="stable")
     root = _build_tree(np.asarray(cells)[order], np.asarray(counts)[order])
     _fill_totals(root)
@@ -399,10 +524,22 @@ def _assign_tiles_cellmap(
     unseen cells still fall back to the overflow tile via the left join."""
     spark = elements.sparkSession
     cells = counts["cell"].to_numpy(np.int64)
-    # probe depth = deepest cell depth: rounding an element qt there yields
-    # exactly its count-tree cell (count_tree may have coarsened below
-    # `level`; rounding is idempotent across levels)
+    # Coarsen the probe to the DEEPEST GROUP depth, not the deepest cell
+    # depth: assignment = deepest group ancestor-of-or-equal of round(qt,
+    # level), and every group key has depth <= D := max group depth, so the
+    # ancestor tests only ever inspect qt prefixes down to D. Rounding the
+    # count-tree cells to D (and probing with round(qt, D)) therefore yields
+    # the IDENTICAL assignment while shrinking the broadcast map from the
+    # full level-17 cell set (~100k rows at sf0.1) to the occupied cells at
+    # group depth (typically 10-30x fewer rows: smaller createDataFrame,
+    # smaller broadcast, same single hash join). Equality with the general
+    # per-depth-join path is pinned by test_tiling_golden.
     probe_level = int((cells & DEPTH_MASK).max()) if len(cells) else 0
+    if len(groups):
+        depth_cap = int((groups["tile_qt"].to_numpy(np.int64) & 31).max())
+        if depth_cap < probe_level:
+            probe_level = depth_cap
+            cells = np.unique(round_to(cells, probe_level))
     assigner = make_tile_assigner(groups, level)
     tidx = assigner(cells)
     tqt = (

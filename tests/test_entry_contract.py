@@ -79,6 +79,31 @@ def test_oracle_matches(spark, duck, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
+def test_q26_rollup_equals_distributed(spark):
+    """q26's driver-side count-tree rollup must equal the distributed
+    assign_tiles + groupBy form bit-for-bit (the r06 optimization replaced
+    the second full pass with a rollup of the already-collected level-17
+    count tree — guide §8 'decide with small rows'; this pins the
+    equivalence end-to-end on the same staged input)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osmquadtree_bin_spark.spans import explode_geoms
+    from osmquadtree_bin_spark.tiling import tiling_pipeline
+
+    qs = entrymod.queries()
+    got = _normalize(qs["q26_tiling_pipeline"](spark, SF_DIR).toPandas())
+
+    docs = entrymod._staged_docs(spark, 400 * entrymod._sf_mult(SF_DIR))
+    assigned, _c, _g = tiling_pipeline(docs, target=500, minimum=250)
+    want = _normalize(
+        assigned.groupBy("tile_idx", "tile_qt")
+        .agg(F.count(F.lit(1)).alias("n_elements"))
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
 def test_full_sf_lsh_companions_invariants(spark):
     """q28b/q29b (rows-only, full-sf LSH): the in-plan invariants hold and
     the subset counts are threshold-monotone."""

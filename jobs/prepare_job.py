@@ -60,35 +60,12 @@ def _parquet_rows(path: str) -> int | None:
 def _tile_rows_from_footers(
     tiled_path: str, max_files: int = 50_000
 ) -> dict[int, int] | None:
-    """Per-tile written row counts from the parquet footers of a local
-    hive-partitioned layout (tile_idx=N/ dirs) — a driver-side metadata
-    read replacing a full distributed scan of the store just written. On
-    Iceberg this audit is a single manifest-summary scan; on HDFS/S3 the
-    footers stream through the FS API or the count distributes per tile.
-    None → caller falls back to the Spark count (non-partitioned layout,
-    non-local fs, or more files than a serial driver walk should touch)."""
-    try:
-        import glob
+    """Delegates to osmquadtree_bin_spark.footers.tile_rows_from_footers
+    (moved there in r06 so the streaming diff ledger can share the same
+    metadata path; this name stays for the resume/audit tests)."""
+    from osmquadtree_bin_spark.footers import tile_rows_from_footers
 
-        import pyarrow.parquet as pq
-
-        dirs = glob.glob(os.path.join(tiled_path, "tile_idx=*"))
-        if not dirs:
-            return None
-        per_dir = {
-            int(os.path.basename(d).split("=", 1)[1]): glob.glob(
-                os.path.join(d, "*.parquet")
-            )
-            for d in dirs
-        }
-        if sum(len(fs) for fs in per_dir.values()) > max_files:
-            return None
-        return {
-            t: sum(pq.read_metadata(f).num_rows for f in fs)
-            for t, fs in per_dir.items()
-        }
-    except Exception:  # noqa: BLE001 — any surprise → honest fallback
-        return None
+    return tile_rows_from_footers(tiled_path, max_files)
 
 
 def _phase_complete(path: str) -> bool:

@@ -143,10 +143,7 @@ class TiledStore:
             return []
 
         base = self.read().filter(F.col("tile_idx").isin(touched))
-        rows_in = {
-            r["tile_idx"]: r["n"]
-            for r in base.groupBy("tile_idx").agg(F.count("*").alias("n")).collect()
-        }
+        rows_in = self._touched_counts(touched)
 
         newest = merge_newest(base, diff, version_col)  # T5: deletes drop
 
@@ -179,7 +176,23 @@ class TiledStore:
         # partition would survive. Clear those explicitly. (On Iceberg this is
         # a single overwrite-by-partition-filter / MERGE and needs no FS ops.)
         self._drop_partitions([t for t in touched if t not in out_tiles])
-        rows_out = {
+        rows_out = self._touched_counts(touched)
+        self._append_ledger(touched, state, rows_in, rows_out)
+        return sorted(touched)
+
+    def _touched_counts(self, touched: list[int]) -> dict[int, int]:
+        """Per-tile row counts for the touched partitions. Footer-walk fast
+        path (r05 verdict #5: the ledger's rows_in/rows_out were two full
+        distributed count scans per diff batch — the parquet-footer metadata
+        read built for the prepare lineage audit serves here too, zero Spark
+        jobs); distributed count fallback when the store is not a local
+        hive-partitioned layout."""
+        from ..footers import tile_rows_from_footers
+
+        got = tile_rows_from_footers(self.data_path, tiles=touched)
+        if got is not None:
+            return got
+        return {
             r["tile_idx"]: r["n"]
             for r in self.read()
             .filter(F.col("tile_idx").isin(touched))
@@ -187,8 +200,6 @@ class TiledStore:
             .agg(F.count("*").alias("n"))
             .collect()
         }
-        self._append_ledger(touched, state, rows_in, rows_out)
-        return sorted(touched)
 
     def _drop_partitions(self, tiles: list[int]) -> None:
         """Remove now-empty tile partitions from the hive layout."""

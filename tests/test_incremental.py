@@ -273,3 +273,44 @@ def test_rebase_reproduces_fresh_tiling_on_merged_input(spark, store, tmp_path):
         "merge_count", "count_tree", "find_groups", "assign_write"
     }
     assert all(v >= 0 for v in out.rebase_phases.values())
+
+
+def test_ledger_counts_via_footers(spark, store, monkeypatch):
+    """r06: apply_diff's ledger rows_in/rows_out come from the parquet-footer
+    metadata walk (zero Spark count jobs per diff), and they must equal the
+    distributed per-tile counts exactly. The footer path must actually be
+    taken — the spy asserts it — and its numbers must match what a
+    distributed count of the touched tiles reports."""
+    from osmquadtree_bin_spark import footers
+
+    st, assigned, _ = store
+    before = {
+        r["tile_idx"]: r["n"]
+        for r in st.read().groupBy("tile_idx").agg(F.count("*").alias("n")).collect()
+    }
+    calls = []
+    real = footers.tile_rows_from_footers
+
+    def spy(path, max_files=50_000, tiles=None):
+        got = real(path, max_files, tiles)
+        calls.append((tiles, got))
+        return got
+
+    monkeypatch.setattr(footers, "tile_rows_from_footers", spy)
+    diff = _mk_diff(spark, assigned, "delete", version=1, n=3)
+    touched = st.apply_diff(diff, state=1)
+    assert touched and len(calls) == 2  # rows_in + rows_out, both via footers
+    rows_in = calls[0][1]
+    rows_out = calls[1][1]
+    assert rows_in == {t: before[t] for t in touched}
+    after = {
+        r["tile_idx"]: r["n"]
+        for r in st.read().groupBy("tile_idx").agg(F.count("*").alias("n")).collect()
+    }
+    assert rows_out == {t: after.get(t, 0) for t in touched if t in after} | {
+        t: 0 for t in touched if t not in after
+    }
+    led = st.ledger().filter(F.col("state") == 1).collect()
+    assert {r["tile_idx"]: (r["rows_in"], r["rows_out"]) for r in led} == {
+        t: (rows_in.get(t, 0), rows_out.get(t, 0)) for t in touched
+    }

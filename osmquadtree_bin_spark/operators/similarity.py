@@ -125,13 +125,32 @@ def train_ivf_centroids(
     keyed-range or seeded sample of ~10-100k rows — centroid quality needs
     vectors-per-centroid, not corpus coverage); the resulting (n_centroids,
     dim) float32 array is a few hundred KB, broadcast with the assignment
-    UDF closure. Deterministic: fixed seed + vec_id-ordered sample."""
-    rows = (
-        embeddings.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(sample)
-        .collect()
-    )
+    UDF closure. Deterministic: fixed seed + vec_id-ordered sample.
+
+    r05 verdict #6: the bare ``orderBy(vec_id).limit(sample)`` is a
+    TakeOrderedAndProject — no full sort, but every partition still heaps
+    its TOP ``sample`` rows and ships them to the driver merge (tasks ×
+    sample rows at planet scale). When the corpus is more than 4× the
+    sample, a deterministic multiplicative-hash range filter
+    (Knuth hash of vec_id, threshold on the high bits — exactly
+    reproducible in numpy by the independent oracle) thins each partition
+    to ~4×sample expected rows BEFORE the heap, making the driver merge
+    O(sample), not O(corpus/task × tasks). Corpora ≤ 4×sample (every
+    pinned fixture and test scale) take the identical unfiltered path, so
+    results there are bit-for-bit unchanged; the filtered path is pinned
+    by test_ivf_sample_hash_filter."""
+    sel = embeddings.select("vec_id", "embedding")
+    total = embeddings.count()  # parquet-metadata count, no full scan
+    if total > 4 * sample:
+        # ((vec_id mod 2^31) * knuth) mod 2^32 < frac·2^32 — all ops stay
+        # inside int64 (ANSI-safe), identical in numpy int64 arithmetic
+        thr = int((4 * sample) / total * 4294967296)
+        h = F.pmod(
+            F.pmod(F.col("vec_id"), F.lit(2147483648)) * F.lit(2654435761),
+            F.lit(4294967296),
+        )
+        sel = sel.filter(h < F.lit(thr))
+    rows = sel.orderBy("vec_id").limit(sample).collect()
     x = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in rows])
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

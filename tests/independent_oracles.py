@@ -482,7 +482,17 @@ def _oracle_lloyd(x32: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
 def oracle_q32(sf_dir: str, k: int = 5, n_centroids: int = 16, nprobe: int = 4,
                sample: int = 2000, seed: int = 29) -> pd.DataFrame:
     ids, x = _load_embeddings(sf_dir)
-    xs = x[:sample]
+    # training-sample rule (mirrors similarity.train_ivf_centroids): corpora
+    # larger than 4×sample are thinned by a deterministic multiplicative-
+    # hash range filter before taking the first `sample` by vec_id
+    if len(ids) > 4 * sample:
+        thr = np.int64((4 * sample) / len(ids) * 4294967296)
+        h = ((ids % np.int64(2147483648)) * np.int64(2654435761)) % np.int64(4294967296)
+        keep = h < thr
+        ids_f, x_f = ids[keep], x[keep]
+    else:
+        ids_f, x_f = ids, x
+    xs = x_f[:sample]
     xn = xs / np.maximum(np.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
     cents = _oracle_lloyd(xn, n_centroids, 10, seed)
     full_n = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)

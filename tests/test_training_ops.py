@@ -494,3 +494,35 @@ def test_simhash_duplicate_heavy_corpus_bounded(spark):
 
     want = n_dup * (n_dup - 1) // 2 + n_dup * n_near + n_near * (n_near - 1) // 2
     assert simhash_near_pairs(sh, max_hamming=8).count() == want
+
+
+def test_ivf_sample_hash_filter(spark):
+    """r06: train_ivf_centroids on a corpus > 4x the sample budget thins
+    via the deterministic multiplicative-hash range filter. Pins that (a)
+    the result is partitioning-independent, and (b) the engine selected
+    EXACTLY the numpy-predicted row set — training on just that predicted
+    subset (which takes the unfiltered path) yields bit-identical
+    centroids."""
+    from osmquadtree_bin_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(5)
+    n, dim, sample = 3000, 16, 500
+    vecs = rng.standard_normal((n, dim))
+    rows = [(int(i), vecs[i].tolist()) for i in range(n)]
+    e1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    e8 = e1.repartition(8)
+    c1 = train_ivf_centroids(e1, n_centroids=8, sample=sample)
+    c8 = train_ivf_centroids(e8, n_centroids=8, sample=sample)
+    np.testing.assert_array_equal(c1, c8)
+
+    ids = np.arange(n, dtype=np.int64)
+    thr = np.int64((4 * sample) / n * 4294967296)
+    h = ((ids % np.int64(2147483648)) * np.int64(2654435761)) % np.int64(4294967296)
+    keep = np.sort(ids[h < thr])[:sample]
+    assert sample * 2 < len(ids[h < thr]) < sample * 8  # filter really thinned
+    sub = spark.createDataFrame(
+        [(int(i), vecs[i].tolist()) for i in keep],
+        "vec_id long, embedding array<double>",
+    )
+    c_sub = train_ivf_centroids(sub, n_centroids=8, sample=sample)
+    np.testing.assert_array_equal(c1, c_sub)

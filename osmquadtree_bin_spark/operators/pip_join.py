@@ -19,6 +19,8 @@ Spark-first design for 100 TB:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -58,6 +60,120 @@ def _point_in_rings(px: np.ndarray, py: np.ndarray, lons: np.ndarray, lats: np.n
     return (crossings % 2).astype(bool)
 
 
+PIP_BBOX_JOIN_CROSSOVER = int(os.environ.get("PIP_BBOX_JOIN_CROSSOVER", "256"))
+_MAX_GRID_CELLS_PER_AXIS = 4096
+
+
+def _pip_bbox_many(elements: DataFrame, bbox_rows: list) -> DataFrame:
+    """Bbox arm for LARGE region counts: broadcast equi-join on a grid-cell
+    key instead of one codegen WHEN per region (r05 verdict #3 — the WHEN
+    array is unbeatable at tens of regions but its generated code and plan
+    grow linearly with the region count and cannot survive 100× more).
+
+    Grid: driver-side, sized from the median region extent (so a region
+    covers O(1) cells) and capped at 4096 cells/axis. The region side
+    explodes to its covering cells driver-side (numpy) and broadcasts; the
+    element side explodes to its covering cells with sequence()+explode in
+    codegen — elements outside the union of region bounds are pre-filtered
+    before the explode. After the BroadcastHashJoin on the cell key the
+    exact inclusive bbox-intersect predicate runs, and each matching
+    (element, region) pair is emitted EXACTLY once without a dedup
+    shuffle: only in the grid cell that contains the intersection's
+    top-left corner. Result rows are identical to the WHEN-array arm
+    (pinned by test_pip_bbox_many_matches_when_arm)."""
+    spark = elements.sparkSession
+    rids = np.array([r["region_id"] for r in bbox_rows])
+    rminx = np.array([int(r["minx"]) for r in bbox_rows], dtype=np.int64)
+    rminy = np.array([int(r["miny"]) for r in bbox_rows], dtype=np.int64)
+    rmaxx = np.array([int(r["maxx"]) for r in bbox_rows], dtype=np.int64)
+    rmaxy = np.array([int(r["maxy"]) for r in bbox_rows], dtype=np.int64)
+    gminx, gmaxx = int(rminx.min()), int(rmaxx.max())
+    gminy, gmaxy = int(rminy.min()), int(rmaxy.max())
+    cellw = max(1, int(np.median(rmaxx - rminx)),
+                (gmaxx - gminx) // _MAX_GRID_CELLS_PER_AXIS)
+    cellh = max(1, int(np.median(rmaxy - rminy)),
+                (gmaxy - gminy) // _MAX_GRID_CELLS_PER_AXIS)
+    ny = (gmaxy - gminy) // cellh + 1
+
+    def cell_x_np(v):
+        return np.clip((v - gminx) // cellw, 0, (gmaxx - gminx) // cellw)
+
+    def cell_y_np(v):
+        return np.clip((v - gminy) // cellh, 0, (gmaxy - gminy) // cellh)
+
+    # region covering cells, exploded driver-side (few cells per region by
+    # construction of the cell size)
+    cx0, cx1 = cell_x_np(rminx), cell_x_np(rmaxx)
+    cy0, cy1 = cell_y_np(rminy), cell_y_np(rmaxy)
+    nx_r = (cx1 - cx0 + 1).astype(np.int64)
+    ny_r = (cy1 - cy0 + 1).astype(np.int64)
+    rep = (nx_r * ny_r).astype(np.int64)
+    ridx = np.repeat(np.arange(len(bbox_rows)), rep)
+    # per-region meshgrid flattened: cell offsets within the region's range
+    off = np.concatenate([np.arange(k) for k in rep]) if len(rep) else np.empty(0, np.int64)
+    rcx = cx0[ridx] + off // ny_r[ridx]
+    rcy = cy0[ridx] + off % ny_r[ridx]
+    grid_pdf = pd.DataFrame(
+        {
+            "__cell": rcx * ny + rcy,
+            "__rid": rids[ridx],
+            "__rminx": rminx[ridx], "__rminy": rminy[ridx],
+            "__rmaxx": rmaxx[ridx], "__rmaxy": rmaxy[ridx],
+        }
+    )
+    gdf = spark.createDataFrame(grid_pdf)
+
+    def idiv(c, k: int):
+        # exact floor division in codegen: subtract the (nonnegative) pmod
+        # remainder first so the double division is of an exact multiple —
+        # bit-identical to numpy's // for every int in range (a bare
+        # cast-after-divide truncates toward zero and misplaces negatives)
+        c = c.cast("long")
+        return ((c - F.pmod(c, F.lit(k))) / F.lit(k)).cast("long")
+
+    cxe = lambda v: F.greatest(  # noqa: E731 — clipped cell index, codegen
+        F.lit(0),
+        F.least(F.lit((gmaxx - gminx) // cellw), idiv(v - F.lit(gminx), cellw)),
+    )
+    cye = lambda v: F.greatest(  # noqa: E731
+        F.lit(0),
+        F.least(F.lit((gmaxy - gminy) // cellh), idiv(v - F.lit(gminy), cellh)),
+    )
+    e = (
+        elements
+        # outside the union of region bounds → cannot intersect any region
+        .filter(
+            (F.col("maxx") >= gminx) & (F.col("minx") <= gmaxx)
+            & (F.col("maxy") >= gminy) & (F.col("miny") <= gmaxy)
+        )
+        .select(
+            "id", "doc_id", "span_idx",
+            F.col("minx").cast("long").alias("__eminx"),
+            F.col("miny").cast("long").alias("__eminy"),
+            F.col("maxx").cast("long").alias("__emaxx"),
+            F.col("maxy").cast("long").alias("__emaxy"),
+        )
+        .withColumn("__cx", F.explode(F.sequence(cxe(F.col("__eminx")),
+                                                 cxe(F.col("__emaxx")))))
+        .withColumn("__cy", F.explode(F.sequence(cye(F.col("__eminy")),
+                                                 cye(F.col("__emaxy")))))
+        .withColumn("__cell", F.col("__cx") * ny + F.col("__cy"))
+    )
+    j = e.join(F.broadcast(gdf), "__cell")
+    exact = (
+        (F.col("__eminx") <= F.col("__rmaxx")) & (F.col("__emaxx") >= F.col("__rminx"))
+        & (F.col("__eminy") <= F.col("__rmaxy")) & (F.col("__emaxy") >= F.col("__rminy"))
+    )
+    # one emit per pair: only the cell holding the intersection's top-left
+    canonical = (
+        (F.col("__cx") == cxe(F.greatest("__eminx", "__rminx")))
+        & (F.col("__cy") == cye(F.greatest("__eminy", "__rminy")))
+    )
+    return j.filter(exact & canonical).select(
+        F.col("__rid").alias("region_id"), "id", "doc_id", "span_idx"
+    )
+
+
 def pip_join(elements: DataFrame, regions: DataFrame) -> DataFrame:
     """J7: (region_id, id, doc_id, span_idx) pairs — every element whose
     geometry bbox intersects a bbox region, or whose bbox center falls inside
@@ -74,12 +190,17 @@ def pip_join(elements: DataFrame, regions: DataFrame) -> DataFrame:
     poly_rows = [r for r in regs if r["kind"] == "polygon"]
 
     out = []
-    if bbox_rows:
+    if bbox_rows and len(bbox_rows) > PIP_BBOX_JOIN_CROSSOVER:
+        # large region counts: grid-cell broadcast equi-join — bounded plan
+        # size regardless of region count (the WHEN array below grows its
+        # generated code linearly and cannot survive 100× more regions)
+        out.append(_pip_bbox_many(elements, bbox_rows))
+    elif bbox_rows:
         # per-region WHEN exprs compacted into an array: one pass per row,
         # fully inside whole-stage codegen — higher-order functions
         # (F.filter over a literal struct array) run interpreted and
-        # measured ~2x slower at tens of regions. (For thousands of
-        # regions, switch to a broadcast join on a tile-prefix key.)
+        # measured ~2x slower at tens of regions. (Above the crossover the
+        # grid-cell broadcast join arm takes over.)
         matches = F.array_compact(
             F.array(
                 *[

@@ -213,3 +213,98 @@ def test_way_wkt_assembly(spark):
     import re
     toks = [int(t) for t in re.split(r"[^-0-9]+", got[100][0]) if t]
     assert min(toks[0::2]) == 10 and max(toks[1::2]) == 40
+
+
+def test_pip_bbox_many_matches_when_arm(spark):
+    """r06: above the region-count crossover the bbox arm switches to the
+    grid-cell broadcast equi-join; its (region_id, id) pairs must be
+    EXACTLY the WHEN-array arm's — including elements spanning many cells,
+    points on region edges (inclusive intersect), negative coordinates, and
+    each pair emitted exactly once (the canonical-cell rule, no dedup)."""
+    import numpy as np
+
+    from osmquadtree_bin_spark.operators import pip_join as pj
+
+    rng = np.random.default_rng(23)
+    n_el, n_reg = 4000, 600
+    ex = rng.integers(-50000, 50000, n_el)
+    ey = rng.integers(-50000, 50000, n_el)
+    ew = np.where(rng.random(n_el) < 0.5, 0, rng.integers(0, 30000, n_el))
+    eh = np.where(rng.random(n_el) < 0.5, 0, rng.integers(0, 30000, n_el))
+    elements = spark.createDataFrame(
+        [
+            (int(i), f"d{i}", 0, int(ex[i]), int(ey[i]),
+             int(ex[i] + ew[i]), int(ey[i] + eh[i]))
+            for i in range(n_el)
+        ],
+        "id long, doc_id string, span_idx int, minx long, miny long, "
+        "maxx long, maxy long",
+    )
+    rx = rng.integers(-60000, 55000, n_reg)
+    ry = rng.integers(-60000, 55000, n_reg)
+    rw = rng.integers(1, 8000, n_reg)
+    rh = rng.integers(1, 8000, n_reg)
+    rows = [
+        {"region_id": f"r{i:04d}", "kind": "bbox", "minx": int(rx[i]),
+         "miny": int(ry[i]), "maxx": int(rx[i] + rw[i]),
+         "maxy": int(ry[i] + rh[i]), "lons": None, "lats": None}
+        for i in range(n_reg)
+    ]
+    regions = spark.createDataFrame(
+        rows,
+        "region_id string, kind string, minx long, miny long, maxx long, "
+        "maxy long, lons array<double>, lats array<double>",
+    )
+    assert n_reg > pj.PIP_BBOX_JOIN_CROSSOVER  # exercises the join arm
+    got = pj.pip_join(elements, regions).toPandas()
+    # duplicate emits would be hidden by set-compare: assert exact-once
+    assert not got.duplicated(["region_id", "id"]).any()
+    import pandas as pd
+
+    want_rows = []
+    eminx, eminy = ex, ey
+    emaxx, emaxy = ex + ew, ey + eh
+    for r in rows:
+        hit = ((eminx <= r["maxx"]) & (emaxx >= r["minx"])
+               & (eminy <= r["maxy"]) & (emaxy >= r["miny"]))
+        for i in np.nonzero(hit)[0]:
+            want_rows.append((r["region_id"], int(i)))
+    want = pd.DataFrame(want_rows, columns=["region_id", "id"])
+    got2 = got[["region_id", "id"]].sort_values(["region_id", "id"]).reset_index(drop=True)
+    want2 = want.sort_values(["region_id", "id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want2)
+
+
+def test_pip_bbox_many_plan_bounded(spark):
+    """The many-region arm's plan must be a BroadcastHashJoin whose size
+    does not grow with the region count (no BroadcastNestedLoopJoin, no
+    per-region WHEN chain)."""
+    import numpy as np
+
+    from osmquadtree_bin_spark.operators import pip_join as pj
+
+    elements = spark.createDataFrame(
+        [(1, "d1", 0, 5, 5, 10, 10)],
+        "id long, doc_id string, span_idx int, minx long, miny long, "
+        "maxx long, maxy long",
+    )
+
+    def mk(n):
+        rows = [
+            {"region_id": f"r{i:05d}", "kind": "bbox", "minx": i * 7 % 1000,
+             "miny": i * 13 % 1000, "maxx": i * 7 % 1000 + 50,
+             "maxy": i * 13 % 1000 + 50, "lons": None, "lats": None}
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "region_id string, kind string, minx long, miny long, maxx long, "
+            "maxy long, lons array<double>, lats array<double>",
+        )
+
+    p1 = pj.pip_join(elements, mk(300))._jdf.queryExecution().executedPlan().toString()
+    p2 = pj.pip_join(elements, mk(3000))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p1
+    assert "BroadcastHashJoin" in p1
+    # plan text must not scale with region count (WHEN-chain would be ~10x)
+    assert len(p2) < len(p1) * 2

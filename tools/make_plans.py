@@ -250,6 +250,17 @@ def main() -> None:
         and "CartesianProduct" not in p,
     )
 
+    # --- q36 many-region bbox arm: bounded plan, hash join, no BNL ---------
+    p = executed(entry.queries()["q36_pip_many_regions"](spark, SF_DIR))
+    check(
+        "q36 many-region PIP: grid-cell BroadcastHashJoin, no BNL/WHEN-chain",
+        f"plan {len(p)} chars for 1000 regions (region-count-independent); "
+        "BroadcastHashJoin; no BroadcastNestedLoopJoin",
+        "BroadcastHashJoin" in p
+        and "BroadcastNestedLoopJoin" not in p
+        and len(p) < 20000,
+    )
+
     # --- write PLANS.md ----------------------------------------------------
     ok_all = all(ok for _, _, ok in rows)
     lines = [

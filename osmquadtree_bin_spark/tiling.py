@@ -59,6 +59,7 @@ def count_tree(
     level: int = QT_TREE_MAX_LEVEL,
     max_cells: int = MAX_DRIVER_CELLS,
     n_rows_hint: int | None = None,
+    scan_floor_bytes: int | None = None,
 ) -> pd.DataFrame:
     """Per-cell element counts at ``min(depth, level)`` (A3). Distributed agg,
     small driver-side result (sorted by key = DFS pre-order).
@@ -80,20 +81,31 @@ def count_tree(
     # level is capped so the worst-case collect stays ~max_cells even for
     # uniformly-scattered data; at true planet scale pass ``level`` lower
     # explicitly.
+    import time as _time
+
+    t0 = _time.perf_counter()
     if n_rows_hint and n_rows_hint > max_cells:
         cap = max(5, math.ceil(math.log(4 * max_cells, 4)))
         level = min(level, cap)
     agg = elements.groupBy(qt_round_expr("qt", level).alias("cell")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    # split-size the scan for this session's cores: the slim elements table
-    # is small enough that Spark's default 128 MB splits would give the map
-    # side fewer tasks than cores (measured 0.44 scaling 2→8 cores on this
-    # stage — 2-3 map tasks on 8 cores); see tuning.py
-    from .tuning import scan_splits_for
+    # split-size the scan for this session's cores (default 128 MB splits
+    # give the map side fewer tasks than cores on GB-scale tables).
+    # ``scan_floor_bytes``: callers whose input is a SLIM FILE TABLE
+    # (prepare_pipeline passes 32 MB) floor the split size — this scan
+    # feeds a ~10^6-cell aggregation whose shuffled partial rows grow
+    # ~linearly with the map-task count (each extra task re-emits most
+    # occupied cells), so oversplitting a cheap scan for parallelism is a
+    # direct §2.2 anti-scaling term: measured 12.8M shuffled partial rows
+    # at 32 tasks vs 6.6M at 12 on the same 17M-row table. Callers whose
+    # ``elements`` is an expensive derived lineage (q26's WKT-parse chain)
+    # leave it unset — there the SCAN dominates and wants full waves.
+    from .tuning import MIN_SPLIT_BYTES, scan_splits_for
 
-    with scan_splits_for(elements):
+    with scan_splits_for(elements, floor_bytes=scan_floor_bytes or MIN_SPLIT_BYTES):
         pdf = agg.toPandas()
+    t1 = _time.perf_counter()
     cells = pdf["cell"].to_numpy(np.int64)
     cnts = pdf["cnt"].to_numpy(np.int64)
     # clustering can beat the 4×/level shrink estimate — finish driver-side
@@ -106,7 +118,24 @@ def count_tree(
         cells = g.index.to_numpy(np.int64)
         cnts = g.to_numpy(np.int64)
     out = pd.DataFrame({"cell": cells, "cnt": cnts})
-    return out.sort_values("cell").reset_index(drop=True)
+    out = out.sort_values("cell").reset_index(drop=True)
+    # sub-timing side channel (read by prepare_pipeline's stage metrics):
+    # distributed agg+collect wall vs driver-side numpy coarsening wall —
+    # the split that tells fixed driver cost apart from scan scaling
+    LAST_COUNT_TREE_TIMINGS.clear()
+    LAST_COUNT_TREE_TIMINGS.update(
+        {
+            "agg_collect_s": round(t1 - t0, 3),
+            "driver_s": round(_time.perf_counter() - t1, 3),
+            "cells_collected": int(len(pdf)),
+            "cells_out": int(len(out)),
+            "level": int(level),
+        }
+    )
+    return out
+
+
+LAST_COUNT_TREE_TIMINGS: dict = {}
 
 
 # ------------------------------------------------------------- A4 group walk

@@ -211,20 +211,21 @@ STEAL_CLEAN_CORES = float(os.environ.get("BENCH_STEAL_CLEAN_CORES", "0.35"))
 BUSY_CLEAN_MARGIN = float(os.environ.get("BENCH_BUSY_CLEAN_MARGIN", "1.5"))
 
 
-def _admitted_stage_walls(history: list[dict]) -> dict:
+def _admitted_stage_walls(history: list[dict], cfg: tuple | None = None) -> dict:
     """Per-stage admissible (N wall, 4N wall, date) measurements — the
     admission rule documented in _stage_clean_lines. Only records matching
-    the CURRENT knee config (levels AND n_docs of the newest knee record)
-    are pooled — mixing walls from a different level pair or input size
-    (BENCH_KNEE_N/4N/BENCH_KNEE_DOCS overrides) would publish an incoherent
-    min-wall ratio as the headline composite."""
+    ``cfg`` (default: the newest knee record's levels, n_docs AND engine
+    impl tag) are pooled — mixing walls from a different level pair, input
+    size (BENCH_KNEE_N/4N/BENCH_KNEE_DOCS overrides) or ENGINE REVISION
+    (r06: records carry an ``impl`` tag) would publish a min-wall ratio no
+    single engine ever produced."""
     per_stage: dict[str, list[tuple[float, float, str]]] = {s: [] for s in STAGE_ORDER}
-    cfg = _knee_config(history)
+    cfg = cfg or _knee_config(history)
     for h in history:
         k = h.get("knee")
         if not k:
             continue
-        if (tuple(k["levels"]), k.get("n_docs")) != cfg:
+        if (tuple(k["levels"]), k.get("n_docs"), k.get("impl")) != cfg:
             continue
         lo, hi = (str(x) for x in k["levels"])
         c_lo, c_hi = k["cluster"][lo], k["cluster"][hi]
@@ -252,13 +253,29 @@ def _admitted_stage_walls(history: list[dict]) -> dict:
 
 
 def _knee_config(history: list[dict]) -> tuple | None:
-    """(levels, n_docs) of the NEWEST knee record — the config whose walls
-    the report pools and whose level ratio sets the efficiency factor."""
+    """(levels, n_docs, impl) of the NEWEST knee record — the config whose
+    walls the report pools and whose level ratio sets the efficiency
+    factor. Legacy records predate the impl tag and group under None."""
     for h in reversed(history):
         k = h.get("knee")
         if k:
-            return (tuple(k["levels"]), k.get("n_docs"))
+            return (tuple(k["levels"]), k.get("n_docs"), k.get("impl"))
     return None
+
+
+def _knee_configs_all(history: list[dict]) -> list[tuple]:
+    """Every distinct pooling config in history, oldest→newest by first
+    appearance (for the previous-engine fallback composite and the
+    excluded-record accounting)."""
+    seen: list[tuple] = []
+    for h in history:
+        k = h.get("knee")
+        if not k:
+            continue
+        c = (tuple(k["levels"]), k.get("n_docs"), k.get("impl"))
+        if c not in seen:
+            seen.append(c)
+    return seen
 
 
 def _knee_factor(history: list[dict]) -> float:
@@ -267,15 +284,15 @@ def _knee_factor(history: list[dict]) -> float:
     cfg = _knee_config(history)
     if not cfg:
         return 4.0
-    (lo, hi), _ = cfg
+    lo, hi = cfg[0]
     return hi / lo if lo else 4.0
 
 
-def _stage_composite(history: list[dict]) -> float | None:
+def _stage_composite(history: list[dict], cfg: tuple | None = None) -> float | None:
     """Composite Σt_N / (factor·Σt_4N) over the best admissible wall per
     parallel stage; None until every parallel stage has a clean window."""
-    per_stage = _admitted_stage_walls(history)
-    factor = _knee_factor(history)
+    per_stage = _admitted_stage_walls(history, cfg)
+    factor = (cfg[0][1] / cfg[0][0]) if cfg else _knee_factor(history)
     tot_lo = tot_hi = 0.0
     for st in STAGE_ORDER:
         if st in SERIAL_STAGES:
@@ -325,8 +342,34 @@ def _stage_clean_lines(history: list[dict]) -> list[str]:
         rows.append(
             f"| {st} | {b_lo} | {b_hi} | {eff} | {len(meas)} clean run(s) |"
         )
-    if not any_clean:
+    cfg = _knee_config(history)
+    if not any_clean or not cfg:
         return []
+    all_cfgs = _knee_configs_all(history)
+    n_total = sum(1 for h in history if h.get("knee"))
+    n_pooled = sum(
+        1
+        for h in history
+        if h.get("knee")
+        and (
+            tuple(h["knee"]["levels"]),
+            h["knee"].get("n_docs"),
+            h["knee"].get("impl"),
+        )
+        == cfg
+    )
+    pool_note = (
+        f"Pooling config: levels {list(cfg[0])}, n_docs {cfg[1]}, engine "
+        f"impl tag `{cfg[2]}` — {n_pooled} of {n_total} knee records match "
+        "and are pooled; the remainder measured a different level pair, "
+        "input size, or engine revision and are excluded from the "
+        "composite (r06 definition change: stage walls are pooled per "
+        "engine revision so minimum walls from different engines are "
+        "never combined; earlier composites pooled every same-config "
+        "record and, separately, moved `lineage` out of the denominator "
+        "when it became a driver-side metadata read — numbers across "
+        "those definition changes are not directly comparable)."
+    )
     if covered:
         composite_line = (
             f"**Composite steal-verified below-knee efficiency "
@@ -341,6 +384,22 @@ def _stage_clean_lines(history: list[dict]) -> list[str]:
             "is excluded by design; see the repeat-run table above for the "
             "whole-pair measurements)."
         )
+    fallback_lines: list[str] = []
+    if covered < n_parallel:
+        for prev in reversed(all_cfgs):
+            if prev == cfg:
+                continue
+            prev_comp = _stage_composite(history, prev)
+            if prev_comp is not None:
+                fallback_lines = [
+                    "",
+                    f"Previous fully-covered engine revision (impl "
+                    f"`{prev[2]}`, levels {list(prev[0])}, n_docs "
+                    f"{prev[1]}): composite {prev_comp} — kept for "
+                    "reference until the current revision accumulates a "
+                    "clean window on every parallel stage.",
+                ]
+                break
     return [
         "### Steal-verified per-stage scaling (hypervisor-counter-clean windows)",
         "",
@@ -356,12 +415,15 @@ def _stage_clean_lines(history: list[dict]) -> list[str]:
         "whose wall is independent of executor count) — are shown by "
         "absolute wall only.",
         "",
+        pool_note,
+        "",
         "| stage | best clean N wall (s) | best clean 4N wall (s) | "
         "efficiency | evidence |",
         "|---|---|---|---|---|",
         *rows,
         "",
         composite_line,
+        *fallback_lines,
         "",
     ]
 
@@ -379,10 +441,13 @@ def _cpu_work_lines(history: list[dict]) -> list[str]:
     Admission: no competing guest load (busy within the level's allotment),
     steal NOT gated — that is the point of this table."""
     per_stage: dict[str, list[tuple[float, float]]] = {s: [] for s in STAGE_ORDER}
+    cfg = _knee_config(history)
     for h in history:
         k = h.get("knee")
         if not k:
             continue
+        if (tuple(k["levels"]), k.get("n_docs"), k.get("impl")) != cfg:
+            continue  # same per-revision pooling as the wall table
         lo, hi = (str(x) for x in k["levels"])
         c_lo, c_hi = k["cluster"][lo], k["cluster"][hi]
         s_lo, s_hi = c_lo.get("stages", {}), c_hi.get("stages", {})

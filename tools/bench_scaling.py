@@ -167,6 +167,15 @@ def scaling_job(
     if os.path.isdir("/dev/shm"):
         os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/oqt_spark_local")
     master, extra = _master_for(cpus, mode, exec_cores)
+    # shuffle/spill codec (static conf — must be set at session build):
+    # zstd cuts the bytes pushed through the shuffle dirs per row for
+    # scalable CPU, the same bandwidth-for-CPU trade as the parquet codec
+    # below (guide §2.3); lz4 remains selectable for A/B via env
+    extra = dict(extra)
+    extra.setdefault(
+        "spark.io.compression.codec",
+        os.environ.get("BENCH_SHUFFLE_CODEC", "zstd"),
+    )
     spark = get_spark(
         app=f"oqt-scaling-{mode}-{cpus}",
         master=master,
@@ -556,6 +565,15 @@ KNEE_LEVELS = (
     int(os.environ.get("BENCH_KNEE_4N", "8")),
 )
 N_DOCS_KNEE = int(os.environ.get("BENCH_KNEE_DOCS", "5000000"))
+# Engine-revision tag stamped into every knee record. BUMP THIS whenever a
+# measured stage's implementation or measurement-relevant config changes
+# (r06a = zstd shuffle codec + 32 MB count_tree scan floor + vectorized
+# find_groups + footer lineage): the report pools best-clean stage walls by
+# (levels, n_docs, impl), so min-walls from different engine revisions are
+# never mixed into one composite (a change that speeds one level could
+# otherwise pair an old lo-wall with a new hi-wall and publish an
+# efficiency no single engine ever had).
+IMPL_TAG = os.environ.get("BENCH_IMPL_TAG", "r06a")
 
 
 def _measure_pair(
@@ -592,6 +610,7 @@ def _measure_pair(
     rec = {
         "n_docs": n_docs,
         "levels": [n, n4],
+        "impl": IMPL_TAG,
         "exec_cores": exec_cores,
         "calib_raw_cpu": calibrate_raw_cpu(n, n4),
         # per-level single-thread probe walls + spread: >~1.25 means the box

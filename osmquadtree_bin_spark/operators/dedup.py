@@ -133,11 +133,38 @@ def minhash_lsh_pairs(
     )
     left = b.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket")
     right = b.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket")
+
+    # canonical emit instead of dropDuplicates (r06, guide §2.4): a pair
+    # matching in several bands used to be deduped by an EXTRA full shuffle
+    # of the candidate volume; instead each pair is kept only in its FIRST
+    # slice-equal band (computable in codegen from the two signatures the
+    # row already carries). Slice equality is the band's true match
+    # condition — the md5 bucket only approximates it, so this also drops
+    # the (theoretical) md5-collision candidates the bucket join admits.
+    def _band_eq(j):
+        return F.forall(
+            F.zip_with(
+                F.slice("sig_a", j * rows_per_band + 1, rows_per_band),
+                F.slice("sig_b", j * rows_per_band + 1, rows_per_band),
+                lambda x, y: x == y,
+            ),
+            lambda v: v,
+        )
+
+    first_band = (
+        F.array_position(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)), lambda j: _band_eq(j)
+            ),
+            F.lit(True),
+        )
+        - 1
+    )
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("band").cast("long") == first_band)
         .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
@@ -203,6 +230,35 @@ def _partenum_config(max_hamming: int) -> tuple[int, int, int]:
     if max_hamming <= 11:
         return 4, 4, 2  # pieces 16 bits, sig = 2 subblocks = 8 bits
     raise ValueError("max_hamming > 11 unsupported (signature keys degenerate)")
+
+
+def _as_i64(mask: int) -> int:
+    """Unsigned 64-bit mask → signed int64 literal (bit 63 set → negative)."""
+    return mask - (1 << 64) if mask >= (1 << 63) else mask
+
+
+def _partenum_masks(max_hamming: int) -> list[int]:
+    """Per-(piece, combo) kept-bit masks, in the SAME tag order as
+    :func:`_partenum_keys`: tag t's key matches for a pair iff
+    (h_a ^ h_b) & masks[t] == 0 — the codegen-side test behind the
+    canonical first-match emit in simhash_near_pairs."""
+    from itertools import combinations
+
+    b1, b2, k1 = _partenum_config(max_hamming)
+    piece_widths = _split_widths(64, b1)
+    masks: list[int] = []
+    off_p = 0
+    for pw in piece_widths:
+        sub_w = _split_widths(pw, b2)
+        sub_off = [off_p + sum(sub_w[:j]) for j in range(b2)]
+        for dirty in combinations(range(b2), k1):
+            m = 0
+            for j in range(b2):
+                if j not in dirty:
+                    m |= ((1 << sub_w[j]) - 1) << sub_off[j]
+            masks.append(m)
+        off_p += pw
+    return masks
 
 
 def _partenum_keys(max_hamming: int) -> list:
@@ -280,6 +336,14 @@ def simhash_near_pairs(
         if dedup_identical
         else sh
     )
+    # Canonical emit (r06, guide §2.4): a qualifying pair shares MULTIPLE
+    # join keys; instead of deduping with an extra full shuffle of the
+    # candidate volume (dropDuplicates), each pair is emitted only by its
+    # FIRST matching key — decidable in codegen from h_a^h_b, because a key
+    # matches iff the pair's xor has no bit inside that key's kept-bit
+    # mask. Exactly one joined row per pair survives; the pair set is
+    # unchanged (pinned by the q29/q29b oracles and the property tests).
+    xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
     if max_hamming < bands:
         width = 64 // bands
         out = None
@@ -294,9 +358,14 @@ def simhash_near_pairs(
                 F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), band.alias("b")
             )
             j = l.join(r, "b").filter(F.col("id_a") < F.col("id_b")).drop("b")
+            # first-match emit: no band below i may also match
+            for jj in range(i):
+                m = ((1 << width) - 1) << (jj * width)
+                j = j.filter(xor.bitwiseAND(F.lit(_as_i64(m))) != 0)
             out = j if out is None else out.unionByName(j)
     else:
         keys = _partenum_keys(max_hamming)
+        masks = _partenum_masks(max_hamming)
         kdf = src.select(
             "id", "simhash", F.explode(F.array(*keys)).alias("b")
         )
@@ -306,13 +375,24 @@ def simhash_near_pairs(
         r = kdf.select(
             F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "b"
         )
-        out = l.join(r, "b").filter(F.col("id_a") < F.col("id_b")).drop("b")
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    rep = (
-        out.dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-    )
+        first_tag = (
+            F.array_position(
+                F.transform(
+                    F.array(*[F.lit(_as_i64(m)).cast("long") for m in masks]),
+                    lambda m: xor.bitwiseAND(m) == 0,
+                ),
+                F.lit(True),
+            )
+            - 1
+        )
+        out = (
+            l.join(r, "b")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.shiftrightunsigned(F.col("b"), 32) == first_tag)
+            .drop("b")
+        )
+    ham = F.bit_count(xor)
+    rep = out.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming)
     if not dedup_identical:
         return rep.select("id_a", "id_b", "hamming")
     # re-expand representative pairs to member pairs

@@ -208,12 +208,7 @@ def prepare_pipeline(
     n_elements = _parquet_rows(el_path)
     if n_elements is None:  # non-local fs fallback: one Spark count job
         n_elements = slim.count()
-    counts = timed(
-        "count_tree",
-        lambda: count_tree(
-            slim, n_rows_hint=n_elements, scan_floor_bytes=32 * 1024 * 1024
-        ),
-    )
+    counts = timed("count_tree", lambda: count_tree(slim, n_rows_hint=n_elements))
     from osmquadtree_bin_spark.tiling import LAST_COUNT_TREE_TIMINGS
 
     for kk, vv in LAST_COUNT_TREE_TIMINGS.items():

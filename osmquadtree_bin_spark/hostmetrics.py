@@ -34,33 +34,69 @@ def proc_stat() -> tuple[int, int, int] | None:
         return None
 
 
-def pg_cpu_jiffies() -> int | None:
-    """CPU jiffies (utime+stime, incl. reaped children via cutime/cstime) of
-    every process in the caller's process group. A child's time is counted
-    from its own /proc entry while alive and folds into the parent's
-    cutime/cstime when reaped, so the sum is continuous across process
-    exits."""
+def _job_pids() -> set[int] | None:
+    """PIDs of the caller and every live DESCENDANT process, by walking the
+    /proc ppid tree. Process-GROUP membership is NOT sufficient for "the
+    job's own processes": pyspark's Python daemon calls ``os.setpgid(0, 0)``
+    (pyspark/daemon.py), so every Arrow/pandas UDF worker leaves the group
+    and its CPU vanished from the old pgrp-based accounting — which made
+    UDF-heavy stages (pip) look like they ran under neighbor competition
+    (busy ≫ "own") and systematically fail the busy-clean admission gate.
+    The parent CHAIN stays intact (no setsid / double-fork in that path),
+    so descendant-tree membership captures driver JVM → executor JVMs →
+    daemons → workers completely, and nothing that is not ours."""
     try:
-        me = os.getpgrp()
-    except (AttributeError, OSError):
+        me = os.getpid()
+    except OSError:
         return None
-    total = 0
-    seen = False
+    ppid: dict[int, int] = {}
     for st in glob.glob("/proc/[0-9]*/stat"):
         try:
             with open(st) as f:
+                parts = f.read().rsplit(") ", 1)[1].split()
+            ppid[int(st.split("/")[2])] = int(parts[1])
+        except (OSError, IndexError, ValueError):
+            continue
+    if not ppid:
+        return None
+    kids: dict[int, list[int]] = {}
+    for p, pp in ppid.items():
+        kids.setdefault(pp, []).append(p)
+    out: set[int] = set()
+    stack = [me]
+    while stack:
+        p = stack.pop()
+        if p in out:
+            continue
+        out.add(p)
+        stack.extend(kids.get(p, ()))
+    return out
+
+
+def pg_cpu_jiffies() -> int | None:
+    """CPU jiffies (utime+stime, incl. reaped children via cutime/cstime) of
+    the caller and every descendant process (see ``_job_pids`` for why the
+    tree, not the process group, defines "the job's own processes"). A
+    child's time is counted from its own /proc entry while alive and folds
+    into the parent's cutime/cstime when reaped, so the sum is continuous
+    across process exits."""
+    pids = _job_pids()
+    if not pids:
+        return None
+    total = 0
+    seen = False
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
                 # comm can contain spaces/parens: split after the LAST ') '
                 # — fields after it are fixed-position
                 parts = f.read().rsplit(") ", 1)[1].split()
-            if int(parts[2]) != me:  # pgrp
-                continue
             seen = True
             total += sum(int(parts[i]) for i in (11, 12, 13, 14))
         except (OSError, IndexError, ValueError):
             continue
-    # no /proc (non-Linux POSIX: getpgrp succeeds, the glob is empty) —
-    # honor the documented None contract instead of reporting 0 jiffies;
-    # on Linux the caller's own entry always matches, so seen is True
+    # no /proc (non-Linux POSIX) — honor the documented None contract
+    # instead of reporting 0 jiffies
     return total if seen else None
 
 
@@ -109,26 +145,18 @@ def _proc_role(pid: str) -> str:
 
 
 def pg_cpu_by_role() -> dict[str, int] | None:
-    """Per-role CPU jiffies (utime+stime) for every THREAD of every process
-    in the caller's process group. Role key is ``proc-role/thread-bucket``
-    for JVM service threads (task/gc/jit/net), else just the proc role.
-    Diagnostic companion to ``pg_cpu_jiffies`` — no cutime folding, so
-    short-lived reaped children are missed; use for attribution shares, not
-    absolute totals."""
-    try:
-        me = os.getpgrp()
-    except (AttributeError, OSError):
+    """Per-role CPU jiffies (utime+stime) for every THREAD of the caller's
+    descendant-process tree (see ``_job_pids``). Role key is
+    ``proc-role/thread-bucket`` for JVM service threads (task/gc/jit/net),
+    else just the proc role. Diagnostic companion to ``pg_cpu_jiffies`` —
+    no cutime folding, so short-lived reaped children are missed; use for
+    attribution shares, not absolute totals."""
+    pids = _job_pids()
+    if not pids:
         return None
     out: dict[str, int] = {}
-    for st in glob.glob("/proc/[0-9]*/stat"):
-        pid = st.split("/")[2]
-        try:
-            with open(st) as f:
-                parts = f.read().rsplit(") ", 1)[1].split()
-            if int(parts[2]) != me:
-                continue
-        except (OSError, IndexError, ValueError):
-            continue
+    for p in pids:
+        pid = str(p)
         prole = _proc_role(pid)
         for tst in glob.glob(f"/proc/{pid}/task/[0-9]*/stat"):
             try:

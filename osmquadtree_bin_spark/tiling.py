@@ -92,15 +92,14 @@ def count_tree(
     )
     # split-size the scan for this session's cores (default 128 MB splits
     # give the map side fewer tasks than cores on GB-scale tables).
-    # ``scan_floor_bytes``: callers whose input is a SLIM FILE TABLE
-    # (prepare_pipeline passes 32 MB) floor the split size — this scan
-    # feeds a ~10^6-cell aggregation whose shuffled partial rows grow
-    # ~linearly with the map-task count (each extra task re-emits most
-    # occupied cells), so oversplitting a cheap scan for parallelism is a
-    # direct §2.2 anti-scaling term: measured 12.8M shuffled partial rows
-    # at 32 tasks vs 6.6M at 12 on the same 17M-row table. Callers whose
-    # ``elements`` is an expensive derived lineage (q26's WKT-parse chain)
-    # leave it unset — there the SCAN dominates and wants full waves.
+    # ``scan_floor_bytes`` (off by default, and now unused by
+    # prepare_pipeline): a 32 MB floor was tried to shrink the map-side
+    # partial duplication (12.8M shuffled partial rows at 32 map tasks vs
+    # 6.6M at 12 on the same 17M-row table), but a clean 2→8-core pair
+    # measured the floored scan SLOWER at the 8-core level (1.6 s → 2.7 s:
+    # the ragged 1.5-wave scan loses more than the halved shuffle gains),
+    # so full-wave splits stay the default everywhere. Kept as a knob for
+    # genuinely shuffle-bound callers at larger scales.
     from .tuning import MIN_SPLIT_BYTES, scan_splits_for
 
     with scan_splits_for(elements, floor_bytes=scan_floor_bytes or MIN_SPLIT_BYTES):

@@ -211,6 +211,42 @@ STEAL_CLEAN_CORES = float(os.environ.get("BENCH_STEAL_CLEAN_CORES", "0.35"))
 BUSY_CLEAN_MARGIN = float(os.environ.get("BENCH_BUSY_CLEAN_MARGIN", "1.5"))
 
 
+def stage_clean(stages: dict, st: str, cpus: int, tree_pg: bool = True) -> bool:
+    """Admission rule for one stage window (shared by the report pooling
+    and knee_until's coverage tracking).
+
+    steal gate: hypervisor stole < STEAL_CLEAN_CORES during the window.
+
+    busy gate: exists to catch OTHER-process competition, which shows as
+    whole-guest busy beyond what the job itself is running. When the record
+    carries the stage's own process-group CPU (``{st}_pg_cpu_s``), foreign
+    busy is measured DIRECTLY as ``busy_cores − own_pg_cores`` — this is
+    the r06 refinement: a stage like pip legitimately overcommits its own
+    allotment (JVM pipeline + Arrow Python workers ≈ 10 busy cores on an
+    8-core level, identically at both levels), and the old
+    ``busy < cpus + margin`` rule rejected those windows as if a neighbor
+    had competed. Foreign-CPU margin stays BUSY_CLEAN_MARGIN.
+
+    ``tree_pg``: pass False for records written before hostmetrics switched
+    to descendant-tree CPU accounting (r06) — their pg numbers are
+    process-group-based and MISS the pyspark daemon's workers (the daemon
+    setpgid()s away), so busy−pg would systematically overestimate foreign
+    CPU there; those records keep the allotment rule they were admitted
+    under. Records without pg data likewise."""
+    steal = stages.get(f"{st}_steal_cores")
+    if steal is None or steal >= STEAL_CLEAN_CORES:
+        return False
+    busy = stages.get(f"{st}_busy_cores")
+    if busy is None:
+        return False
+    wall = stages.get(st)
+    pg = stages.get(f"{st}_pg_cpu_s")
+    if tree_pg and pg is not None and wall and wall > 0.5:
+        own = pg / wall
+        return (busy - own) < BUSY_CLEAN_MARGIN
+    return busy < float(cpus) + BUSY_CLEAN_MARGIN
+
+
 def _admitted_stage_walls(history: list[dict], cfg: tuple | None = None) -> dict:
     """Per-stage admissible (N wall, 4N wall, date) measurements — the
     admission rule documented in _stage_clean_lines. Only records matching
@@ -231,23 +267,15 @@ def _admitted_stage_walls(history: list[dict], cfg: tuple | None = None) -> dict
         c_lo, c_hi = k["cluster"][lo], k["cluster"][hi]
         s_lo, s_hi = c_lo.get("stages", {}), c_hi.get("stages", {})
 
-        def _clean(stages: dict, st: str, cpus: int) -> bool:
-            steal = stages.get(f"{st}_steal_cores")
-            if steal is None or steal >= STEAL_CLEAN_CORES:
-                return False
-            busy = stages.get(f"{st}_busy_cores")
-            # the busy gate exists to catch OTHER-guest competition, which
-            # shows as whole-guest busy beyond the level's own allotment.
-            # Serial driver-side stages use ~1 core themselves, but their
-            # short windows legitimately overlap the app's own executor-JVM
-            # background threads (post-write cleanup, GC), so they get the
-            # same level allotment — competition still trips the gate.
-            return busy is not None and busy < float(cpus) + BUSY_CLEAN_MARGIN
-
         for st in STAGE_ORDER:
             if st not in s_lo or st not in s_hi:
                 continue
-            if _clean(s_lo, st, c_lo["cpus"]) and _clean(s_hi, st, c_hi["cpus"]):
+            # descendant-tree pg accounting lands with impl r06b; earlier
+            # records' pg misses setpgid()'d UDF workers (see stage_clean)
+            tree = k.get("impl") not in (None, "r06a")
+            if stage_clean(s_lo, st, c_lo["cpus"], tree) and stage_clean(
+                s_hi, st, c_hi["cpus"], tree
+            ):
                 per_stage[st].append((s_lo[st], s_hi[st], h["date"]))
     return per_stage
 
@@ -405,10 +433,14 @@ def _stage_clean_lines(history: list[dict]) -> list[str]:
         "",
         "A stage row is admitted only when, during that stage's window on "
         f"BOTH levels of the same run, /proc/stat shows < {STEAL_CLEAN_CORES}"
-        " cores stolen AND guest busy-cores stayed within the level's own "
-        f"allotment + {BUSY_CLEAN_MARGIN} (competition from another guest "
-        "process is invisible to the steal counter but shows up as excess "
-        "busy). Walls below are the minimum over admissible windows (steal "
+        " cores stolen AND foreign busy-cores (whole-guest busy minus the "
+        "job's own process-group CPU rate — r06 refinement: a stage whose "
+        "JVM pipeline overlaps its Arrow Python workers legitimately runs "
+        "more busy cores than its allotment, identically at both levels, "
+        "and must not be rejected as neighbor competition) stayed under "
+        f"{BUSY_CLEAN_MARGIN}; records without per-stage process-group CPU "
+        "fall back to the old allotment+margin rule. Walls below are the "
+        "minimum over admissible windows (steal "
         "and competition only ever inflate a wall). The two serial-by-design "
         "driver-side steps — the group walk and the parquet-footer lineage "
         "audit (the Iceberg manifest-scan analogue; a ~0.5 s metadata read "

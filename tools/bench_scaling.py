@@ -573,7 +573,9 @@ N_DOCS_KNEE = int(os.environ.get("BENCH_KNEE_DOCS", "5000000"))
 # never mixed into one composite (a change that speeds one level could
 # otherwise pair an old lo-wall with a new hi-wall and publish an
 # efficiency no single engine ever had).
-IMPL_TAG = os.environ.get("BENCH_IMPL_TAG", "r06a")
+# (r06a briefly added a 32 MB count_tree scan floor; a clean pair measured
+# it slower at the 4N level, so r06b reverts it — see tiling.count_tree)
+IMPL_TAG = os.environ.get("BENCH_IMPL_TAG", "r06b")
 
 
 def _measure_pair(
@@ -699,9 +701,7 @@ def knee_until(deadline_sec: float, quiet_wait_sec: float = 1800.0) -> dict:
     deadline passes. On a host whose neighbor arrives in multi-minute
     bursts, whole-pair-clean is rare but per-stage-clean accumulates — this
     mode converts idle hours into verified stage walls."""
-    from tools.bench_report import (
-        BUSY_CLEAN_MARGIN, SERIAL_STAGES, STAGE_ORDER, STEAL_CLEAN_CORES as SC,
-    )
+    from tools.bench_report import SERIAL_STAGES, STAGE_ORDER, stage_clean
 
     kn, kn4 = KNEE_LEVELS
     t_end = time.monotonic() + deadline_sec
@@ -726,15 +726,10 @@ def knee_until(deadline_sec: float, quiet_wait_sec: float = 1800.0) -> dict:
             _record_run(rec)
             c_lo, c_hi = (k["cluster"][str(x)] for x in (kn, kn4))
             for st in parallel:
-                ok = True
-                for c in (c_lo, c_hi):
-                    stg = c.get("stages", {})
-                    if (
-                        stg.get(f"{st}_steal_cores", 99) >= SC
-                        or stg.get(f"{st}_busy_cores", 99)
-                        >= c["cpus"] + BUSY_CLEAN_MARGIN
-                    ):
-                        ok = False
+                ok = all(
+                    stage_clean(c.get("stages", {}), st, c["cpus"])
+                    for c in (c_lo, c_hi)
+                )
                 covered |= {st} if ok else set()
             if k.get("steal_clean") or covered >= set(parallel):
                 break

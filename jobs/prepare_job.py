@@ -53,7 +53,13 @@ def _parquet_rows(path: str) -> int | None:
         if not files:
             return None
         return sum(pq.read_metadata(f).num_rows for f in files)
-    except Exception:  # noqa: BLE001 — any surprise → honest fallback
+    except (OSError, ValueError, KeyError) as e:  # narrow: a corrupt-footer
+        # signal must surface, not vanish into the fallback (r05 ADVICE)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "parquet row-count footer walk of %s failed (%s: %s) — falling "
+            "back to a distributed count", path, type(e).__name__, e)
         return None
 
 
